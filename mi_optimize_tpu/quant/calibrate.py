@@ -1,0 +1,142 @@
+"""Layer-streaming sequential calibration engine.
+
+TPU-native re-design of the reference's per-arch sequential drivers
+(llama_sequential, /root/reference/mi_optimize/quantization/models/llama_seq.py):
+
+  reference (torch, mutable)               ours (JAX, functional)
+  ------------------------------------     -----------------------------------
+  Catcher raises ValueError to grab        jitted embed() — block-0 inputs are
+  block-0 inputs (llama_seq.py:31-49)      just a function output
+  forward hooks accumulate H / inputs      block_apply(capture=True) returns the
+  (quantizer/utils.py:26-102)              activations; a jitted step reduces
+                                           them into stats on device
+  one block resident on GPU, .to()         params live on host (numpy); each
+  ping-pong (llama_seq.py:65-158)          block is device_put for its turn,
+                                           quantized, fetched back
+  per-group order [kvq][o][up,gate][down]  same GROUP_ORDER; stats are shared
+  (llama_seq.py:71-76)                     within a group (same input tensor)
+  block_sequential flag: propagate         same flag; fp outputs computed from
+  quantized vs fp outputs (:155-158)       the retained fp block pytree
+
+Combo pipelines (AWQ+GPTQ, SmoothQuant+GPTQ — llama_seq.py:112-138) fold the
+first algorithm's smooth factor into the weights, then run GPTQ on the smoothed
+weights; see `ComboAlgo`.
+"""
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama
+from ..models.llama import GROUP_ORDER, LlamaConfig
+from .base import BaseAlgo, init_stats, update_stats_device, update_stats_host
+from .config import QuantConfig
+
+log = logging.getLogger(__name__)
+
+
+@partial(jax.jit, static_argnames=("cfg", "capture_name"))
+def _stats_forward(blk, x, cos, sin, mask, cfg: LlamaConfig, capture_name: str):
+    """Run one block forward, return the captured input of `capture_name`."""
+    _, _, caps = llama.block_apply(blk, x, cos, sin, mask, cfg, capture=True, fused=False)
+    return caps[capture_name]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _block_forward(blk, x, cos, sin, mask, cfg: LlamaConfig):
+    out, _, _ = llama.block_apply(blk, x, cos, sin, mask, cfg, capture=False, fused=False)
+    return out
+
+
+def _collect_group_stats(blk, batches, cos, sin, mask, cfg, name, kinds, in_features):
+    """Accumulate calibration stats for one linear-group input across batches."""
+    if not kinds:
+        return {}
+    stats = init_stats(kinds, in_features)
+    dev_kinds = tuple(k for k in kinds if k != "inputs")
+
+    @partial(jax.jit, static_argnames=())
+    def update(stats_dev, cap):
+        return update_stats_device(dev_kinds, stats_dev, cap)
+
+    stats_dev = {k: v for k, v in stats.items() if k != "inputs"}
+    for x in batches:
+        cap = _stats_forward(blk, jnp.asarray(x), cos, sin, mask, cfg, name)
+        if dev_kinds:
+            stats_dev = update(stats_dev, cap)
+        stats = update_stats_host(kinds, stats, cap)
+    stats.update(stats_dev)
+    return stats
+
+
+def quantize_blocks_dataless(
+    params: Dict[str, Any],
+    quant_cfg: QuantConfig,
+    algo: BaseAlgo,
+) -> Dict[str, Any]:
+    """Quantize every block without calibration forwards (RTN/ZeroQuant/FP8
+    weight-only dynamic configs need no stats)."""
+    new_layers = []
+    for fp_blk in params["layers"]:
+        blk = dict(fp_blk)
+        for group in GROUP_ORDER:
+            for name in group:
+                blk[name] = algo.quantize_linear(blk[name], {})
+        new_layers.append(jax.device_get(blk))
+    out = dict(params)
+    out["layers"] = new_layers
+    return out
+
+
+def sequential_quantize(
+    params: Dict[str, Any],
+    cfg: LlamaConfig,
+    quant_cfg: QuantConfig,
+    algo: BaseAlgo,
+    calib_batches: List[np.ndarray],
+    *,
+    progress: bool = True,
+) -> Dict[str, Any]:
+    """Quantize all transformer blocks layer-sequentially; returns new params."""
+    seqlen = calib_batches[0].shape[-1]
+    cos, sin = llama.rope_tables(cfg, jnp.arange(seqlen))
+    mask = llama.causal_mask(seqlen)
+
+    embed_fn = jax.jit(lambda ids: llama.embed(params, ids))
+    xs = [np.asarray(embed_fn(jnp.asarray(b))) for b in calib_batches]
+
+    kinds = tuple(dict.fromkeys(tuple(algo.stats) + tuple(algo.act_stats())))
+    new_layers = []
+    for i, fp_blk in enumerate(params["layers"]):
+        blk = {k: jax.device_put(v) for k, v in fp_blk.items()}
+        if not quant_cfg.block_sequential:
+            # fp propagation: next-block inputs from the unquantized block
+            fp_outs = [np.asarray(_block_forward(blk, jnp.asarray(x), cos, sin, mask, cfg))
+                       for x in xs]
+
+        for group in GROUP_ORDER:
+            lead = group[0]
+            in_features = blk[lead].in_features
+            stats = _collect_group_stats(blk, xs, cos, sin, mask, cfg, lead, kinds, in_features)
+            for name in group:
+                blk[name] = algo.quantize_linear(blk[name], stats)
+            del stats
+
+        if quant_cfg.block_sequential:
+            outs = [np.asarray(_block_forward(blk, jnp.asarray(x), cos, sin, mask, cfg))
+                    for x in xs]
+        else:
+            outs = fp_outs
+        xs = outs  # ping-pong (llama_seq.py:155-158)
+        new_layers.append(jax.device_get(blk))
+        if progress:
+            log.info("quantized block %d/%d", i + 1, len(params["layers"]))
+
+    out_params = dict(params)
+    out_params["layers"] = new_layers
+    return out_params

@@ -1,0 +1,124 @@
+"""End-to-end quantization tests on a tiny random llama (CPU).
+
+Oracle strategy (SURVEY.md §4): quantized-model PPL must stay close to fp PPL
+at int8 and not explode at int4; fake-quant forward ≡ packed forward.
+"""
+import numpy as np
+import pytest
+
+import mi_optimize_tpu as mt
+from mi_optimize_tpu.eval.ppl import compute_ppl
+from mi_optimize_tpu.models.model import Model
+from mi_optimize_tpu.quant.config import QuantConfig
+
+
+def make_model_and_data(seed=0, nbatches=2, seqlen=32):
+    m = Model.tiny_llama()
+    rng = np.random.default_rng(seed)
+    batches = [rng.integers(0, 256, (1, seqlen)) for _ in range(nbatches)]
+    return m, batches
+
+
+@pytest.fixture(scope="module")
+def fp_setup():
+    m, batches = make_model_and_data()
+    return m, batches, compute_ppl(m, batches, fused=False)
+
+
+def quant_ppl(m, batches, **cfg_kw):
+    cfg = QuantConfig(**cfg_kw)
+    qm = mt.quantize(m, cfg, calib_data=batches)
+    return compute_ppl(qm, batches, fused=False), qm
+
+
+def test_rtn_int8_close_to_fp(fp_setup):
+    m, batches, fp_ppl = fp_setup
+    ppl, qm = quant_ppl(m, batches, algo="rtn", wbit="int8", w_qtype="per_channel")
+    assert abs(ppl - fp_ppl) / fp_ppl < 0.02
+
+
+def test_rtn_int4_per_group_packed(fp_setup):
+    m, batches, fp_ppl = fp_setup
+    ppl, qm = quant_ppl(m, batches, algo="rtn", wbit="int4", w_qtype="per_group", w_groupsize=16)
+    assert ppl < fp_ppl * 3
+    # weights actually packed
+    lin = qm.params["layers"][0]["q_proj"]
+    assert lin.packed is not None and lin.weight is None
+
+
+def test_rtn_static_act_quant(fp_setup):
+    m, batches, fp_ppl = fp_setup
+    ppl, qm = quant_ppl(
+        m, batches, algo="rtn", wbit="int8", abit="int8",
+        quantization_type="static", a_qtype="per_tensor",
+    )
+    lin = qm.params["layers"][0]["q_proj"]
+    assert lin.a_scale is not None
+    assert ppl < fp_ppl * 2
+
+
+def test_gptq_int4(fp_setup):
+    m, batches, fp_ppl = fp_setup
+    ppl, qm = quant_ppl(
+        m, batches, algo="gptq", wbit="int4", w_qtype="per_group",
+        w_groupsize=16, blocksize=32, w_has_zero=True,
+    )
+    assert ppl < fp_ppl * 3
+
+
+def test_gptq_beats_rtn_int3(fp_setup):
+    """GPTQ's error feedback should out-perform naive RTN at low bits."""
+    m, batches, fp_ppl = fp_setup
+    rtn_ppl, _ = quant_ppl(m, batches, algo="rtn", wbit="int3", w_qtype="per_channel")
+    gptq_ppl, _ = quant_ppl(
+        m, batches, algo="gptq", wbit="int3", blocksize=32, w_has_zero=True,
+    )
+    assert gptq_ppl < rtn_ppl * 1.1
+
+
+def test_smoothquant_w8a8(fp_setup):
+    m, batches, fp_ppl = fp_setup
+    ppl, qm = quant_ppl(
+        m, batches, algo="smoothquant", wbit="int8", abit="int8",
+        w_qtype="per_channel", a_qtype="per_tensor",
+    )
+    lin = qm.params["layers"][0]["q_proj"]
+    assert lin.smooth_factor is not None
+    assert abs(ppl - fp_ppl) / fp_ppl < 0.05
+
+
+def test_zeroquant(fp_setup):
+    m, batches, fp_ppl = fp_setup
+    ppl, qm = quant_ppl(m, batches, algo="zeroquant", wbit="int8", abit="int8", w_groupsize=16)
+    assert abs(ppl - fp_ppl) / fp_ppl < 0.05
+
+
+def test_fp8_e4m3(fp_setup):
+    m, batches, fp_ppl = fp_setup
+    ppl, qm = quant_ppl(m, batches, algo="fp8", wbit="int8", abit="int8", fp8_format="e4m3")
+    assert abs(ppl - fp_ppl) / fp_ppl < 0.05
+
+
+def test_passthrough_fp16(fp_setup):
+    m, batches, fp_ppl = fp_setup
+    cfg = QuantConfig(algo="rtn", wbit="float16", abit="float16")
+    qm = mt.quantize(m, cfg, calib_data=batches)
+    assert qm is m
+
+
+def test_config_from_reference_style_dict():
+    cfg = QuantConfig.from_dict({
+        "quant_config": {
+            "algo": "gptq",
+            "model_type": "llama",
+            "kwargs": {"wbit": "int4", "w_groupsize": 128, "actorder": True},
+            "calibrate_config": {"name": "wikitext2", "nsample": 4, "seqlen": 64},
+        }
+    })
+    assert cfg.algo == "gptq" and cfg.w_groupsize == 128
+    assert cfg.calibrate.nsamples == 4
+
+
+def test_unknown_config_key_rejected():
+    with pytest.raises(ValueError):
+        QuantConfig.from_dict({"algo": "rtn", "not_a_key": 1})
