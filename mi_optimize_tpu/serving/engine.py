@@ -1,0 +1,105 @@
+"""Serving path: jit-compiled KV-cached prefill + single-token decode.
+
+This fills the role of the reference's HF `model.generate` inference
+(/root/reference/mi_optimize/examples/inference.py) and of the external
+fastllm C++ engine the reference exports to (.flm) — here the native engine IS
+the JAX/XLA program: packed weights resident in HBM behind the fused Pallas
+dequant-matmul, static-shape KV cache, one compiled prefill and one compiled
+decode-step function.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama
+from ..models.model import Model
+
+
+def init_cache(cfg, batch: int, max_len: int, dtype=jnp.bfloat16):
+    return [
+        (
+            jnp.zeros((batch, max_len, cfg.num_kv_heads, cfg.head_dim), dtype),
+            jnp.zeros((batch, max_len, cfg.num_kv_heads, cfg.head_dim), dtype),
+        )
+        for _ in range(cfg.num_layers)
+    ]
+
+
+@partial(jax.jit, static_argnames=("cfg", "fused"))
+def prefill(params, cfg, input_ids, cache, fused=True):
+    """Process the prompt; returns (last-token logits [B,V], filled cache)."""
+    B, S = input_ids.shape
+    max_len = cache[0][0].shape[1]
+    x = llama.embed(params, input_ids)
+    cos, sin = llama.rope_tables(cfg, jnp.arange(S))
+    mask = jnp.arange(max_len)[None, :] <= jnp.arange(S)[:, None]  # [S, T]
+    new_cache = []
+    for blk, kv in zip(params["layers"], cache):
+        x, kv, _ = llama.block_apply(
+            blk, x, cos, sin, mask, cfg, kv_cache=kv, cache_index=0, fused=fused
+        )
+        new_cache.append(kv)
+    x = llama.rms_norm(x[:, -1:], params["final_norm"], cfg.rms_eps)
+    logits = llama.unembed(params, cfg, x, fused=fused)[:, 0]
+    return logits, new_cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "fused"))
+def decode_step(params, cfg, token, cache, pos, fused=True):
+    """One autoregressive step. token [B,1], pos scalar; returns (logits, cache)."""
+    max_len = cache[0][0].shape[1]
+    x = llama.embed(params, token)
+    cos, sin = llama.rope_tables(cfg, pos[None])
+    mask = (jnp.arange(max_len)[None, :] <= pos)[None, :]  # [1, T] -> bcast [S=1,T]
+    new_cache = []
+    for blk, kv in zip(params["layers"], cache):
+        x, kv, _ = llama.block_apply(
+            blk, x, cos, sin, mask, cfg, kv_cache=kv, cache_index=pos, fused=fused
+        )
+        new_cache.append(kv)
+    x = llama.rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = llama.unembed(params, cfg, x, fused=fused)[:, 0]
+    return logits, new_cache
+
+
+def _sample(logits, temperature, key):
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1)
+    return jax.random.categorical(key, logits / temperature, axis=-1)
+
+
+def generate(
+    model: Model,
+    input_ids: np.ndarray,
+    max_new_tokens: int = 32,
+    temperature: float = 0.0,
+    eos_token_id: Optional[int] = None,
+    max_len: Optional[int] = None,
+    seed: int = 0,
+    fused: bool = True,
+    cache_dtype=jnp.float32,
+) -> np.ndarray:
+    """Greedy/temperature generation; returns [B, prompt+new] token ids."""
+    cfg, params = model.config, model.params
+    input_ids = np.asarray(input_ids)
+    B, S = input_ids.shape
+    total = max_len or min(cfg.max_seq_len, S + max_new_tokens)
+    cache = init_cache(cfg, B, total, cache_dtype)
+    logits, cache = prefill(params, cfg, jnp.asarray(input_ids), cache, fused)
+    key = jax.random.PRNGKey(seed)
+    out = [input_ids]
+    tok = None
+    for i in range(max_new_tokens):
+        key, sub = jax.random.split(key)
+        tok = _sample(logits, temperature, sub)
+        out.append(np.asarray(tok)[:, None])
+        if eos_token_id is not None and bool((tok == eos_token_id).all()):
+            break
+        pos = jnp.asarray(S + i)
+        logits, cache = decode_step(params, cfg, tok[:, None], cache, pos, fused)
+    return np.concatenate(out, axis=1)

@@ -1,0 +1,58 @@
+"""Pallas fused dequant-matmul ≡ jnp reference path (interpret mode on CPU)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mi_optimize_tpu.core import packing, qparams
+from mi_optimize_tpu.core.qparams import qrange
+from mi_optimize_tpu.models.quant_linear import (
+    QuantSpec, QuantizedLinear, dequant_weight, quant_linear_apply,
+)
+
+
+def make_packed_linear(rng, out_f, in_f, bits, qtype, groupsize=-1, unsigned=True):
+    w = rng.normal(size=(out_f, in_f)).astype(np.float32)
+    fake_w, scale, zero = qparams.quantize_dequantize(
+        jnp.asarray(w), bits, qtype, groupsize, symmetric=True, unsigned=unsigned
+    )
+    ints = qparams.quantize_to_int(fake_w, scale, zero, bits, qtype, groupsize, unsigned)
+    packed = jnp.asarray(packing.pack(np.asarray(ints), bits, qrange(bits, unsigned)))
+    spec = QuantSpec(
+        wbit=bits, w_qtype=qtype, w_groupsize=groupsize, w_unsigned=unsigned, w_packed=True
+    )
+    return QuantizedLinear(
+        spec=spec, out_features=out_f, in_features=in_f,
+        packed=packed, w_scale=scale, w_zero=zero,
+    ), np.asarray(fake_w)
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+@pytest.mark.parametrize("qtype,groupsize", [("per_channel", -1), ("per_group", 128)])
+def test_fused_matches_reference(rng, bits, qtype, groupsize):
+    qlin, fake_w = make_packed_linear(rng, 256, 256, bits, qtype, groupsize)
+    x = rng.normal(size=(16, 256)).astype(np.float32)
+    y_ref = x @ fake_w.T
+    y_fused = np.asarray(quant_linear_apply(qlin, jnp.asarray(x), fused=True))
+    np.testing.assert_allclose(y_fused, y_ref, rtol=1e-4, atol=1e-3)
+
+
+def test_fused_signed_grid(rng):
+    qlin, fake_w = make_packed_linear(rng, 128, 256, 4, "per_channel", unsigned=False)
+    x = rng.normal(size=(8, 256)).astype(np.float32)
+    y_ref = x @ fake_w.T
+    y = np.asarray(quant_linear_apply(qlin, jnp.asarray(x), fused=True))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-3)
+
+
+def test_fused_odd_batch_padding(rng):
+    """M not a multiple of 8 exercises the pad/unpad path (decode batch=1)."""
+    qlin, fake_w = make_packed_linear(rng, 128, 128, 4, "per_group", 32)
+    x = rng.normal(size=(1, 5, 128)).astype(np.float32)
+    y_ref = x.reshape(-1, 128) @ fake_w.T
+    y = np.asarray(quant_linear_apply(qlin, jnp.asarray(x), fused=True)).reshape(-1, 128)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-3)
+
+
+def test_dequant_weight_roundtrip(rng):
+    qlin, fake_w = make_packed_linear(rng, 64, 128, 4, "per_group", 32)
+    np.testing.assert_allclose(np.asarray(dequant_weight(qlin)), fake_w, rtol=1e-5, atol=1e-6)

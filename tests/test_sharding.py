@@ -1,0 +1,76 @@
+"""Tensor/data-parallel sharding tests on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mi_optimize_tpu as mt
+from mi_optimize_tpu.models import llama
+from mi_optimize_tpu.models.model import Model
+from mi_optimize_tpu.parallel import batch_pspec, make_mesh, shard_params
+from mi_optimize_tpu.quant.config import QuantConfig
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(n_model=4, n_data=2)
+    assert mesh.shape == {"data": 2, "model": 4}
+
+
+def _sharded_forward(m, mesh, ids):
+    params = shard_params(m.params, mesh)
+    ids = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, batch_pspec()))
+
+    @jax.jit
+    def fwd(p, i):
+        return llama.forward(p, m.config, i, fused=False)
+
+    return np.asarray(fwd(params, ids))
+
+
+def test_tp_forward_matches_single_device():
+    m = Model.tiny_llama()
+    ids = np.random.default_rng(0).integers(0, 256, (2, 16))
+    ref = np.asarray(llama.forward(m.params, m.config, jnp.asarray(ids), fused=False))
+    mesh = make_mesh(n_model=2, n_data=1)
+    out = _sharded_forward(m, mesh, ids)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_tp_dp_forward_matches():
+    m = Model.tiny_llama()
+    ids = np.random.default_rng(1).integers(0, 256, (4, 16))
+    ref = np.asarray(llama.forward(m.params, m.config, jnp.asarray(ids), fused=False))
+    mesh = make_mesh(n_model=2, n_data=4)
+    out = _sharded_forward(m, mesh, ids)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_quantized_fake_model_shards():
+    """Fake-quant (unpacked) int4 model under TP matches its single-device self."""
+    m = Model.tiny_llama()
+    rng = np.random.default_rng(2)
+    batches = [rng.integers(0, 256, (1, 32))]
+    qcfg = QuantConfig(algo="rtn", wbit="int4", w_qtype="per_group", w_groupsize=16, pack=False)
+    qm = mt.quantize(m, qcfg, calib_data=batches)
+    ids = rng.integers(0, 256, (2, 16))
+    ref = np.asarray(llama.forward(qm.params, qm.config, jnp.asarray(ids), fused=False))
+    mesh = make_mesh(n_model=2, n_data=2)
+    out = _sharded_forward(qm, mesh, ids)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_hessian_psum_over_data_shards():
+    """Calibration's XtX reduction is associative — sharding the token axis and
+    psumming equals the unsharded Hessian (SURVEY.md §5.7)."""
+    from jax import shard_map
+
+    mesh = make_mesh(n_model=1, n_data=8)
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(64, 32)).astype(np.float32)
+
+    def local_xtx(xs):
+        return jax.lax.psum(xs.T @ xs, axis_name="data")
+
+    f = shard_map(local_xtx, mesh=mesh, in_specs=P("data", None), out_specs=P())
+    np.testing.assert_allclose(np.asarray(f(x)), x.T @ x, rtol=1e-4, atol=1e-4)
