@@ -44,6 +44,13 @@ def pack(values: np.ndarray, bits: int, rng: QRange) -> np.ndarray:
     if np.any(u >> bits):
         raise ValueError("values out of range for bit-width")
     flat = u.reshape(-1, in_features)
+    if 32 % bits == 0:
+        # vectorized fast path: vpw values per word, no straddling
+        vpw = 32 // bits
+        v = flat.reshape(flat.shape[0], nwords, vpw).astype(np.uint32)
+        shifts = (np.arange(vpw, dtype=np.uint32) * np.uint32(bits))
+        out32 = np.bitwise_or.reduce(v << shifts, axis=-1)
+        return out32.astype(np.uint32).reshape(*values.shape[:-1], nwords)
     out = np.zeros((flat.shape[0], nwords), dtype=np.uint64)
     idx = (np.arange(in_features) * bits) // 32
     off = ((np.arange(in_features) * bits) % 32).astype(np.uint64)
@@ -83,3 +90,46 @@ def unpack(packed: jnp.ndarray, bits: int, rng: QRange, in_features: int) -> jnp
                        jnp.zeros_like(hi_words))
         vals = (low | hi) & mask
     return vals.astype(jnp.int32) + jnp.int32(rng.qmin)
+
+
+# ---------------------------------------------------------------------------
+# weight layout: words-major ("transposed") storage for the TPU kernel
+# ---------------------------------------------------------------------------
+
+def pack_weight(values: np.ndarray, bits: int, rng: QRange) -> np.ndarray:
+    """Pack an int weight grid [out, in] into uint32 [in*bits/32, out].
+
+    Words-major layout: row w holds word w of every output channel. Mosaic
+    block shapes need the trailing dim divisible by 128 — out_features is,
+    while in*bits/32 generally is not (e.g. llama's 11008·4/32 = 1376), so the
+    kernel streams (word-rows, channel-cols) tiles with fully aligned blocks.
+    """
+    packed = pack(values, bits, rng)  # [out, nwords]
+    return np.ascontiguousarray(packed.T)
+
+
+def unpack_weight(packed_t: jnp.ndarray, bits: int, rng: QRange, in_features: int) -> jnp.ndarray:
+    """Inverse of pack_weight: uint32 [nwords, out] -> int32 [out, in]."""
+    return unpack(packed_t.T, bits, rng, in_features)
+
+
+def pack_weight_device(values: "jnp.ndarray", bits: int, rng: QRange) -> "jnp.ndarray":
+    """Device-side (jittable) pack_weight for 32%bits==0 widths.
+
+    Host↔device transfers can dominate export time (a 7B layer is ~64MB of
+    int32 grid values), so when the grid already lives on-device we pack there
+    and never round-trip. Produces the same words-major uint32 [in·b/32, out]
+    layout as pack_weight.
+    """
+    if 32 % bits != 0:
+        raise ValueError("device packing supports bit-widths dividing 32 only")
+    vpw = 32 // bits
+    out_f, in_f = values.shape
+    nwords = packed_width(in_f, bits)
+    u = (values.astype(jnp.int32) - rng.qmin).astype(jnp.uint32)
+    v = u.reshape(out_f, nwords, vpw)
+    shifts = jnp.asarray(np.arange(vpw, dtype=np.uint32) * np.uint32(bits))
+    words = v[..., 0]
+    for i in range(1, vpw):
+        words = words | (v[..., i] << shifts[i])
+    return words.T

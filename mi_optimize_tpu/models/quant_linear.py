@@ -58,7 +58,7 @@ class QuantizedLinear:
     out_features: int = struct.field(pytree_node=False)
     in_features: int = struct.field(pytree_node=False)
     weight: Optional[jax.Array] = None        # fp or fake-quant [out, in]
-    packed: Optional[jax.Array] = None        # uint32 [out, in*wbit/32]
+    packed: Optional[jax.Array] = None        # uint32 [in*wbit/32, out] words-major
     w_scale: Optional[jax.Array] = None
     w_zero: Optional[jax.Array] = None
     bias: Optional[jax.Array] = None
@@ -88,7 +88,7 @@ def dequant_weight(q: QuantizedLinear) -> jnp.ndarray:
     if q.packed is None:
         return q.weight
     rng = qrange(s.wbit, s.w_unsigned)
-    w_int = packing.unpack(q.packed, s.wbit, rng, q.in_features).astype(jnp.float32)
+    w_int = packing.unpack_weight(q.packed, s.wbit, rng, q.in_features).astype(jnp.float32)
     if s.w_qtype == "per_group" and s.w_groupsize > 0:
         wg = w_int.reshape(-1, s.w_groupsize)
         w = (wg - q.w_zero.reshape(-1, 1)) * q.w_scale.reshape(-1, 1)

@@ -8,9 +8,13 @@ tile, and the MXU consumes the dequantized tile directly — the fp weights neve
 touch HBM. For decode (HBM-bandwidth-bound) this is a ~4x (int4) / ~2x (int8)
 traffic reduction versus bf16 weights, which sets the speed-of-light target.
 
-Layout contract (core/packing.py): values packed little-endian along
-in-features, `packed[n, w]` holds in-features [w*vpw, (w+1)*vpw) of output
-channel n, vpw = 32/bits. Per-group scales [N, K/g] follow their groups.
+Layout contract (core/packing.pack_weight): packed is words-major uint32
+[K·bits/32, N] — word-row w holds in-features [w·vpw, (w+1)·vpw) of every
+output channel, little-endian within the word. Trailing dim N is always
+128-aligned for llama shapes, so Mosaic block constraints (last dim % 128)
+hold for any K (including 11008, whose word count 1376 is not 128-divisible).
+Scales/zeros are passed as [ngroups, N] with ngroups resident per tile
+(ngroups ≤ K/128 — a few KB), sliced per K-step inside the kernel.
 
 Grid: (M/TM, N/TN, K/TK), K innermost; f32 accumulation in VMEM scratch,
 output written on the last K step (standard revisiting-accumulator pattern).
@@ -31,39 +35,53 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _pick_tile(dim: int, candidates=(512, 256, 128, 8)) -> int:
+def _pick_tile(dim: int, candidates) -> int:
     for c in candidates:
         if dim % c == 0:
             return c
     return dim
 
 
-def _unpack_tile(w: jnp.ndarray, bits: int) -> jnp.ndarray:
-    """uint32 [TN, TKW] -> int grid values [TN, TKW*vpw] (little-endian)."""
+def _unpack_words(w: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """uint32 [TKW, TN] -> unsigned grid values [TKW*vpw, TN] int32 (words-major).
+
+    Masked values fit in [0, 2^bits), so the uint32->int32 bitcast is value-
+    preserving (Mosaic has no direct uint32->f32 cast).
+    """
     vpw = 32 // bits
     mask = jnp.uint32((1 << bits) - 1)
-    parts = [(w >> jnp.uint32(bits * i)) & mask for i in range(vpw)]
-    stacked = jnp.stack(parts, axis=-1)  # [TN, TKW, vpw]
-    return stacked.reshape(w.shape[0], w.shape[1] * vpw)
+    parts = [jax.lax.bitcast_convert_type((w >> jnp.uint32(bits * i)) & mask, jnp.int32)
+             for i in range(vpw)]
+    stacked = jnp.stack(parts, axis=1)  # [TKW, vpw, TN]
+    return stacked.reshape(w.shape[0] * vpw, w.shape[1])
 
 
-def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, tile_g, nk):
+def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, group, tk, nk):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    wq = _unpack_tile(w_ref[:], bits).astype(jnp.float32)  # [TN, TK]
-    tn, tk = wq.shape
-    ng = tk // tile_g
-    s = s_ref[:]  # [TN, ng]
-    z = z_ref[:]
-    wd = ((wq.reshape(tn, ng, tile_g) - z[:, :, None]) * s[:, :, None]).reshape(tn, tk)
+    wq = _unpack_words(w_ref[:], bits).astype(jnp.float32)  # [TK, TN]
+    tn = wq.shape[1]
+    if group >= tk:
+        # one scale row covers this whole K tile (per-channel or large groups)
+        row = (k * tk) // group
+        s = s_ref[pl.ds(row, 1), :]  # [1, TN]
+        z = z_ref[pl.ds(row, 1), :]
+        wd = (wq - z) * s
+    else:
+        ng = tk // group
+        row0 = k * ng
+        s = s_ref[pl.ds(row0, ng), :]  # [ng, TN]
+        z = z_ref[pl.ds(row0, ng), :]
+        wd = ((wq.reshape(ng, group, tn) - z[:, None, :]) * s[:, None, :]).reshape(tk, tn)
+
     x = x_ref[:]
     acc_ref[:] += jax.lax.dot_general(
         x, wd.astype(x.dtype),
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -78,9 +96,9 @@ def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, tile_g, nk):
 )
 def packed_matmul(
     x: jnp.ndarray,
-    packed: jnp.ndarray,
-    scales: jnp.ndarray,
-    zeros: jnp.ndarray,
+    packed_t: jnp.ndarray,
+    scales_t: jnp.ndarray,
+    zeros_t: jnp.ndarray,
     *,
     bits: int,
     groupsize: int,
@@ -91,45 +109,52 @@ def packed_matmul(
 ) -> jnp.ndarray:
     """y[M,N] = x[M,K] @ dequant(packed)^T with fused in-VMEM dequantization.
 
+    packed_t: uint32 [K·bits/32, N] (words-major); scales_t/zeros_t: [ngroups, N].
     groupsize <= 0 means per-channel (one group spanning K). `qmin` biases the
-    stored unsigned field back to the signed grid when w_unsign=False.
+    stored unsigned field back onto the signed grid when w_unsign=False.
     """
     M, K = x.shape
     N = out_features
     assert K == in_features
     g = groupsize if groupsize > 0 else K
     # zero-point seen by the kernel absorbs the storage bias (stored = q - qmin)
-    z_eff = zeros.reshape(N, -1).astype(jnp.float32) - float(qmin)
-    s2 = jnp.broadcast_to(scales.reshape(N, -1).astype(jnp.float32), z_eff.shape)
-
-    TM = _pick_tile(M, (256, 128, 64, 32, 16, 8))
-    TN = _pick_tile(N, (256, 128))
-    TK = _pick_tile(K, (512, 256, 128))
-    if TK % g == 0 and g <= TK:
-        tile_g, s_block, s_index = g, (TN, TK // g), lambda i, j, k: (j, k)
-    elif g % TK == 0:
-        tile_g, s_block, s_index = TK, (TN, 1), lambda i, j, k: (j, (k * TK) // g)
-    else:
-        raise ValueError(f"groupsize {g} incompatible with K tile {TK}")
+    z_eff = zeros_t.astype(jnp.float32) - float(qmin)
+    s_t = scales_t.astype(jnp.float32)
+    ngroups = K // g
+    assert s_t.shape == (ngroups, N) and z_eff.shape == (ngroups, N)
 
     vpw = 32 // bits
+    TM = _pick_tile(M, (256, 128, 64, 32, 16, 8))
+    TN = _pick_tile(N, (512, 256, 128))
+    # K tile: word-rows must be sublane-aligned (mult of 8) => TK mult of 8*vpw;
+    # also align to the group structure (TK%g==0 or g%TK==0)
+    TK = None
+    for cand in (512, 1024, 256, 2048):
+        if K % cand or (cand // vpw) % 8:
+            continue
+        if cand % g == 0 or g % cand == 0:
+            TK = cand
+            break
+    if TK is None:
+        TK = K  # full-K tile: block covers the whole word axis (always legal)
+
     nk = K // TK
     grid = (M // TM, N // TN, nk)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, bits=bits, tile_g=tile_g, nk=nk),
+        functools.partial(_kernel, bits=bits, group=g, tk=TK, nk=nk),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TM, TK), lambda i, j, k: (i, k)),
-            pl.BlockSpec((TN, TK // vpw), lambda i, j, k: (j, k)),
-            pl.BlockSpec(s_block, s_index),
-            pl.BlockSpec(s_block, s_index),
+            pl.BlockSpec((TK // vpw, TN), lambda i, j, k: (k, j)),
+            pl.BlockSpec((ngroups, TN), lambda i, j, k: (0, j)),
+            pl.BlockSpec((ngroups, TN), lambda i, j, k: (0, j)),
         ],
         out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
         scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
         interpret=interpret,
-    )(x, packed, s2, z_eff)
+    )(x, packed_t, s_t, z_eff)
     return out
 
 
@@ -148,18 +173,16 @@ def dequant_matmul(x: jnp.ndarray, qlin) -> jnp.ndarray:
     rng = qrange(s.wbit, s.w_unsigned)
     g = s.w_groupsize if (s.w_qtype == "per_group" and s.w_groupsize > 0) else -1
     N = qlin.out_features
-    # per_tensor scalars broadcast to [N,1]
-    if qlin.w_scale.size == 1:
-        w_scale = jnp.broadcast_to(jnp.reshape(qlin.w_scale, (1, 1)), (N, 1))
-        w_zero = jnp.broadcast_to(jnp.reshape(qlin.w_zero, (1, 1)), (N, 1))
-    else:
-        w_scale, w_zero = qlin.w_scale, qlin.w_zero
+    ngroups = K // (g if g > 0 else K)
+    # logical scales [N, ngroups] (or scalar) -> kernel layout [ngroups, N]
+    scales_t = jnp.broadcast_to(jnp.reshape(qlin.w_scale, (-1, ngroups)).T, (ngroups, N))
+    zeros_t = jnp.broadcast_to(jnp.reshape(qlin.w_zero, (-1, ngroups)).T, (ngroups, N))
     y = packed_matmul(
-        x2, qlin.packed, w_scale, w_zero,
+        x2, qlin.packed, scales_t, zeros_t,
         bits=s.wbit, groupsize=g, qmin=rng.qmin,
-        out_features=qlin.out_features, in_features=K,
+        out_features=N, in_features=K,
         interpret=not _on_tpu(),
     )
     if pad:
         y = y[:M]
-    return y.reshape(*lead, qlin.out_features)
+    return y.reshape(*lead, N)

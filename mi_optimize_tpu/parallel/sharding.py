@@ -59,11 +59,13 @@ def _linear_pspecs(kind: str, lin: QuantizedLinear) -> QuantizedLinear:
     spec = lin.spec
     if kind == COL:
         w = P("model", None)
+        packed = P(None, "model")  # words-major [K·b/32, N]: N is the out axis
         scale = P("model", None)
         bias = P("model")
         smooth = P()  # full in-features on every shard
     else:  # ROW
         w = P(None, "model")
+        packed = P("model", None)  # shard the word-rows (in-features axis)
         # per-channel scales [out,1] replicate; per-group [out, K/g] shard on K
         scale = P(None, "model") if (spec.w_qtype == "per_group" and spec.w_groupsize > 0) else P(None, None)
         bias = P()  # bias added after the psum; replicated
@@ -74,7 +76,7 @@ def _linear_pspecs(kind: str, lin: QuantizedLinear) -> QuantizedLinear:
 
     return lin.replace(
         weight=keep(lin.weight, w),
-        packed=keep(lin.packed, w),
+        packed=keep(lin.packed, packed),
         w_scale=keep(lin.w_scale, scale),
         w_zero=keep(lin.w_zero, scale),
         bias=keep(lin.bias, bias),

@@ -23,7 +23,7 @@ from .common import build_quantized_linear
 
 @register_algo("awq")
 class AWQAlgo(BaseAlgo):
-    stats = ("inputs", "absmax")
+    stats = ("inputs", "absmean")
 
     def quantize_linear(self, lin: QuantizedLinear, stats) -> QuantizedLinear:
         from .awq_impl import awq_quantize_linear

@@ -1,0 +1,152 @@
+"""AWQ implementation: smoothing-ratio grid search + per-channel clip search.
+
+Exact-semantics re-implementation of LinearAwqQuantizer
+(/root/reference/mi_optimize/quantization/quantizer/AWQQuantizer.py) in pure
+JAX — the 20-point ratio grid and the 20×max_shrink clip grid run as
+`lax.map`s over a jitted candidate evaluator (sequential, memory-bounded;
+equivalent to the reference's python loops):
+
+  w_max  = mean over rows of |W| normalized per group by group absmax (:26-34)
+  x_max  = per-channel mean |x| over calibration tokens (:36-38) — streamed
+           via the absmean reducer instead of concatenating stored inputs
+  grid   r = 0, 1/20, ..., 19/20:
+           s_r = clamp(x_max^r / w_max^(1-r), 1e-4); s_r /= sqrt(max·min)
+           loss_r = MSE(x W^T, x (dq(W·s_r)/s_r)^T)   (:106-128)
+  clip   per-[oc, group] shrink grid over absmax·(1-i/20), scored against a
+           1-token subsample of the inputs (n_sample_token=1, :147-194)
+  final  asymmetric per-group fake-quant of the smoothed+clipped weight
+           (pseudo_quantize_tensor :39-84); runtime divides x by s (:250-252)
+
+Deviation: the reference concatenates every captured input token for the MSE
+loss; we use the host-side sample capped at MAX_INPUT_SAMPLE_TOKENS (8192) —
+identical for the reference's default calibration sizes that fit the cap.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.quant_linear import QuantizedLinear
+from .common import build_quantized_linear
+from .config import QuantConfig
+
+
+def pseudo_quantize(w, n_bit, zero_point, groupsize, return_qparams=False):
+    """Reference pseudo_quantize_tensor (:39-84); w [..., ci] grouped on last dim."""
+    org_shape = w.shape
+    g = groupsize if groupsize > 0 else org_shape[-1]
+    w2 = w.reshape(-1, g)
+    if zero_point:
+        mx = w2.max(axis=1, keepdims=True)
+        mn = w2.min(axis=1, keepdims=True)
+        max_int = 2 ** n_bit - 1
+        scales = jnp.clip(mx - mn, 1e-5, None) / max_int
+        zeros = jnp.clip(-jnp.round(mn / scales), 0, max_int)
+        q = jnp.clip(jnp.round(w2 / scales) + zeros, 0, max_int)
+        dq = (q - zeros) * scales
+    else:
+        amax = jnp.clip(jnp.abs(w2).max(axis=1, keepdims=True), 1e-5, None)
+        max_int = 2 ** (n_bit - 1) - 1
+        scales = amax / max_int
+        zeros = jnp.zeros_like(scales)
+        q = jnp.clip(jnp.round(w2 / scales), -(2 ** (n_bit - 1)), max_int)
+        dq = q * scales
+    dq = dq.reshape(org_shape)
+    if return_qparams:
+        ng = org_shape[-1] // g
+        return dq, scales.reshape(-1, ng), zeros.reshape(-1, ng)
+    return dq
+
+
+def weight_scale(w, groupsize):
+    """Per-in-feature mean of group-normalized |W| (reference get_weight_scale)."""
+    org = w.shape
+    g = groupsize if groupsize > 0 else org[-1]
+    wg = jnp.abs(w).reshape(-1, g)
+    s = (wg / jnp.clip(wg.max(axis=1, keepdims=True), 1e-12, None)).reshape(org)
+    return s.mean(axis=0)
+
+
+@partial(jax.jit, static_argnames=("n_bit", "groupsize", "zero_point", "n_grid"))
+def auto_scale_search(w, x, x_mean_abs, *, n_bit, groupsize, zero_point, n_grid=20):
+    """Return the MSE-minimizing smooth scales over the ratio grid."""
+    w_max = weight_scale(w, groupsize)
+    org_out = x @ w.T
+
+    ratios = jnp.arange(n_grid, dtype=jnp.float32) / n_grid
+
+    def eval_ratio(r):
+        s = jnp.clip(x_mean_abs ** r / jnp.clip(w_max, 1e-12, None) ** (1.0 - r), 1e-4, None)
+        s = s / jnp.sqrt(s.max() * s.min())
+        wq = pseudo_quantize(w * s[None, :], n_bit, zero_point, groupsize) / s[None, :]
+        loss = jnp.mean((org_out - x @ wq.T) ** 2)
+        return loss, s
+
+    losses, scales = jax.lax.map(eval_ratio, ratios)
+    best = jnp.argmin(losses)
+    return scales[best]
+
+
+@partial(jax.jit, static_argnames=("n_bit", "groupsize", "zero_point", "n_grid", "max_shrink"))
+def auto_clip_search(w, x_sample, *, n_bit, groupsize, zero_point, n_grid=20, max_shrink=0.5):
+    """Per-[oc, group] best clipping absmax (reference auto_clip_layer)."""
+    oc, ci = w.shape
+    g = groupsize if groupsize > 0 else ci
+    ng = ci // g
+    wg = w.reshape(oc, 1, ng, g)
+    xg = x_sample.reshape(1, -1, ng, g)
+    org_max = jnp.abs(wg).max(axis=-1, keepdims=True)  # [oc,1,ng,1]
+    org_out = (xg * wg).sum(axis=-1)  # [oc, ntok, ng]
+
+    def eval_shrink(i_s):
+        mv = org_max * (1.0 - i_s / n_grid)
+        cur = jnp.clip(wg, -mv, mv)
+        qw = pseudo_quantize(cur, n_bit, zero_point, groupsize)
+        err = jnp.abs((xg * qw).sum(axis=-1) - org_out).mean(axis=1)  # [oc, ng]
+        return err, mv[:, 0, :, 0]
+
+    shrinks = jnp.arange(int(max_shrink * n_grid), dtype=jnp.float32)
+    errs, mvs = jax.lax.map(eval_shrink, shrinks)  # [S, oc, ng]
+    best = jnp.argmin(errs, axis=0)  # [oc, ng]
+    return jnp.take_along_axis(mvs, best[None], axis=0)[0]  # [oc, ng]
+
+
+def awq_quantize_linear(cfg: QuantConfig, lin: QuantizedLinear, stats) -> QuantizedLinear:
+    if not cfg.quantize_weights:
+        return lin
+    n_bit = cfg.wbit.bits
+    groupsize = cfg.w_groupsize if cfg.w_groupsize > 0 else 128
+    zero_point = True  # AWQ is asymmetric by construction (reference ctor default)
+
+    w = lin.weight.astype(jnp.float32)
+    x = jnp.asarray(np.concatenate(stats["inputs"], axis=0), jnp.float32)
+    x_mean_abs = stats["abssum"] / jnp.maximum(stats["ntokens"], 1.0)
+
+    smooth = auto_scale_search(
+        w, x, x_mean_abs, n_bit=n_bit, groupsize=groupsize,
+        zero_point=zero_point, n_grid=cfg.n_grid,
+    )
+    Q = w * smooth[None, :]
+    x_s = x / smooth[None, :]
+
+    clip = auto_clip_search(
+        Q, x_s[:1], n_bit=n_bit, groupsize=groupsize, zero_point=zero_point,
+        n_grid=cfg.n_grid, max_shrink=cfg.max_shrink,
+    )
+    oc, ci = Q.shape
+    ng = ci // groupsize
+    Qc = jnp.clip(
+        Q.reshape(oc, ng, groupsize), -clip[:, :, None], clip[:, :, None]
+    ).reshape(oc, ci)
+
+    fake_w, scales, zeros = pseudo_quantize(
+        Qc, n_bit, zero_point, groupsize, return_qparams=True
+    )
+    out = build_quantized_linear(
+        lin, cfg, fake_w, scales, zeros, w_qtype="per_group", w_groupsize=groupsize,
+        smooth_factor=smooth,
+    )
+    return out.replace(spec=out.spec.replace(w_symmetric=False))

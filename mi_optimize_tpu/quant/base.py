@@ -46,6 +46,9 @@ def init_stats(kinds: Tuple[str, ...], in_features: int) -> Dict[str, Any]:
         s["max"] = jnp.asarray(-jnp.inf, jnp.float32)
     if "absmax" in kinds:
         s["absmax"] = jnp.zeros((in_features,), jnp.float32)
+    if "absmean" in kinds:
+        s["abssum"] = jnp.zeros((in_features,), jnp.float32)
+        s["ntokens"] = jnp.zeros((), jnp.float32)
     if "inputs" in kinds:
         s["inputs"] = []  # host-side list of np arrays [tokens, in_features]
     return s
@@ -63,6 +66,9 @@ def update_stats_device(kinds, stats, x: jnp.ndarray):
         out["max"] = jnp.maximum(stats["max"], xf.max())
     if "absmax" in kinds:
         out["absmax"] = jnp.maximum(stats["absmax"], jnp.abs(xf).max(axis=0))
+    if "absmean" in kinds:
+        out["abssum"] = stats["abssum"] + jnp.abs(xf).sum(axis=0)
+        out["ntokens"] = stats["ntokens"] + xf.shape[0]
     return out
 
 
@@ -119,7 +125,7 @@ def register_algo(name: str):
 
 def get_algo(name: str, cfg: QuantConfig) -> BaseAlgo:
     # registrations live in the algorithm modules; import side-effect
-    from . import rtn, gptq, awq, smoothquant, zeroquant, fp8, spqr, quip  # noqa: F401
+    from . import rtn, gptq, awq, smoothquant, zeroquant, fp8, spqr, quip, combos  # noqa: F401
     if name not in _REGISTRY:
         raise ValueError(f"unknown algo {name!r}; available: {sorted(_REGISTRY)}")
     return _REGISTRY[name](cfg)

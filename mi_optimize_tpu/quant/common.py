@@ -38,6 +38,7 @@ def build_quantized_linear(
     w_zero: jnp.ndarray,
     *,
     w_qtype: Optional[str] = None,
+    w_groupsize: Optional[int] = None,
     smooth_factor: Optional[jnp.ndarray] = None,
     a_scale=None,
     a_zero=None,
@@ -53,6 +54,8 @@ def build_quantized_linear(
     spec = make_weight_spec(cfg, packed=cfg.pack and pack_ok)
     if w_qtype is not None:
         spec = spec.replace(w_qtype=w_qtype)
+    if w_groupsize is not None:
+        spec = spec.replace(w_groupsize=w_groupsize)
     if smooth_factor is not None:
         smooth_factor = smooth_factor.astype(jnp.float32)
 
@@ -61,7 +64,11 @@ def build_quantized_linear(
         ints = qparams.quantize_to_int(
             fake_w, w_scale, w_zero, spec.wbit, spec.w_qtype, spec.w_groupsize, spec.w_unsigned
         )
-        packed = jnp.asarray(packing.pack(np.asarray(ints), spec.wbit, rng))
+        if 32 % spec.wbit == 0:
+            # pack on device — avoids a host round-trip of the full int grid
+            packed = packing.pack_weight_device(ints, spec.wbit, rng)
+        else:
+            packed = jnp.asarray(packing.pack_weight(np.asarray(ints), spec.wbit, rng))
         weight = None
     else:
         packed = None

@@ -28,8 +28,9 @@ class ZeroQuantAlgo(BaseAlgo):
                 lin.weight.astype(jnp.float32), cfg.wbit.bits, "per_group",
                 groupsize, symmetric=True, unsigned=False,
             )
-            out = build_quantized_linear(lin, cfg, fake_w, scale, zero, w_qtype="per_group")
-            out = out.replace(spec=out.spec.replace(w_groupsize=groupsize))
+            out = build_quantized_linear(
+                lin, cfg, fake_w, scale, zero, w_qtype="per_group", w_groupsize=groupsize
+            )
         else:
             out = lin
         spec = out.spec.replace(

@@ -16,7 +16,7 @@ def make_packed_linear(rng, out_f, in_f, bits, qtype, groupsize=-1, unsigned=Tru
         jnp.asarray(w), bits, qtype, groupsize, symmetric=True, unsigned=unsigned
     )
     ints = qparams.quantize_to_int(fake_w, scale, zero, bits, qtype, groupsize, unsigned)
-    packed = jnp.asarray(packing.pack(np.asarray(ints), bits, qrange(bits, unsigned)))
+    packed = jnp.asarray(packing.pack_weight(np.asarray(ints), bits, qrange(bits, unsigned)))
     spec = QuantSpec(
         wbit=bits, w_qtype=qtype, w_groupsize=groupsize, w_unsigned=unsigned, w_packed=True
     )
