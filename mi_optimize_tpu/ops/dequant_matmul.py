@@ -56,7 +56,7 @@ def _unpack_words(w: jnp.ndarray, bits: int) -> jnp.ndarray:
     return stacked.reshape(w.shape[0] * vpw, w.shape[1])
 
 
-def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, group, tk, nk):
+def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, ng_tile, tk, nk):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -65,18 +65,15 @@ def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, group, tk, nk):
 
     wq = _unpack_words(w_ref[:], bits).astype(jnp.float32)  # [TK, TN]
     tn = wq.shape[1]
-    if group >= tk:
-        # one scale row covers this whole K tile (per-channel or large groups)
-        row = (k * tk) // group
-        s = s_ref[pl.ds(row, 1), :]  # [1, TN]
-        z = z_ref[pl.ds(row, 1), :]
+    # scales arrive pre-expanded per K tile (rows 0:ng_tile of this block) —
+    # static slicing only; Mosaic cannot prove alignment of dynamic row slices
+    s = s_ref[0:ng_tile, :]
+    z = z_ref[0:ng_tile, :]
+    if ng_tile == 1:
         wd = (wq - z) * s
     else:
-        ng = tk // group
-        row0 = k * ng
-        s = s_ref[pl.ds(row0, ng), :]  # [ng, TN]
-        z = z_ref[pl.ds(row0, ng), :]
-        wd = ((wq.reshape(ng, group, tn) - z[:, None, :]) * s[:, None, :]).reshape(tk, tn)
+        group = tk // ng_tile
+        wd = ((wq.reshape(ng_tile, group, tn) - z[:, None, :]) * s[:, None, :]).reshape(tk, tn)
 
     x = x_ref[:]
     acc_ref[:] += jax.lax.dot_general(
@@ -139,22 +136,32 @@ def packed_matmul(
         TK = K  # full-K tile: block covers the whole word axis (always legal)
 
     nk = K // TK
+    ng_tile = max(TK // g, 1)
+    # pre-expand scales per K tile into 8-row-aligned blocks: row r of tile k
+    # holds group (k·TK)//g + r; unused pad rows are never read by the kernel
+    R = max(8, -(-ng_tile // 8) * 8)
+    src = np.minimum(
+        (np.arange(nk)[:, None] * TK) // g + np.arange(R)[None, :], ngroups - 1
+    ).reshape(-1)
+    s_exp = s_t[src]  # [nk*R, N]
+    z_exp = z_eff[src]
+
     grid = (M // TM, N // TN, nk)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, bits=bits, group=g, tk=TK, nk=nk),
+        functools.partial(_kernel, bits=bits, ng_tile=ng_tile, tk=TK, nk=nk),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TM, TK), lambda i, j, k: (i, k)),
             pl.BlockSpec((TK // vpw, TN), lambda i, j, k: (k, j)),
-            pl.BlockSpec((ngroups, TN), lambda i, j, k: (0, j)),
-            pl.BlockSpec((ngroups, TN), lambda i, j, k: (0, j)),
+            pl.BlockSpec((R, TN), lambda i, j, k: (k, j)),
+            pl.BlockSpec((R, TN), lambda i, j, k: (k, j)),
         ],
         out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
         scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
         interpret=interpret,
-    )(x, packed_t, s_t, z_eff)
+    )(x, packed_t, s_exp, z_exp)
     return out
 
 
