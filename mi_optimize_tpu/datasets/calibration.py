@@ -1,0 +1,155 @@
+"""Calibration & test data loaders (wikitext2 / PTB / C4 / C-Eval / CMMLU / BOSS).
+
+Protocol parity with the reference loaders
+(/root/reference/mi_optimize/datasets/data_loader.py):
+  * train split  -> `nsamples` random seqlen crops of the tokenized join
+    (wikitext joined with "\n\n", PTB sentences with " "), seeded RNG
+  * test split   -> contiguous seqlen chunks
+  * get_calibrate_loader dispatches on calibrate_config.name
+
+Offline stance: corpora resolve from MI_TPU_DATA_DIR, ./data, or (data-only)
+the read-only reference mount's bundled caches; C4 requires network and raises
+a clear error without it.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import random
+from typing import List, Optional
+
+import numpy as np
+
+from ..quant.config import CalibrationConfig
+from .tokenizer import encode_ids
+
+log = logging.getLogger(__name__)
+
+_SEARCH_DIRS = (
+    os.environ.get("MI_TPU_DATA_DIR", ""),
+    os.path.join(os.path.dirname(__file__), "..", "..", "data"),
+    "/root/reference/mi_optimize/datasets",
+)
+
+
+def find_data_path(name: str) -> Optional[str]:
+    for d in _SEARCH_DIRS:
+        if not d:
+            continue
+        p = os.path.join(d, name)
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def _crops(token_ids: np.ndarray, nsamples, seqlen: int, seed: int, split: str):
+    """Random train crops / contiguous test chunks of a [1, T] id array."""
+    T = token_ids.shape[1]
+    if split == "train":
+        rng = random.Random(seed)
+        out = []
+        for _ in range(nsamples):
+            i = rng.randint(0, T - seqlen - 1)
+            out.append(token_ids[:, i : i + seqlen])
+        return out
+    n = (T // seqlen) if nsamples == "all" else int(nsamples)
+    return [token_ids[:, i * seqlen : (i + 1) * seqlen] for i in range(n)
+            if (i + 1) * seqlen <= T or split != "test"]
+
+
+def _load_arrow_split(corpus_dir: str, split: str):
+    """Load a split from a bundled HF builder-cache directory (.arrow files).
+
+    Falls back train -> validation when only eval splits are bundled (the
+    reference ships validation/test arrows only); logs the substitution.
+    """
+    import glob
+
+    from datasets import Dataset
+
+    def find(s):
+        hits = glob.glob(os.path.join(corpus_dir, "**", f"*-{s}.arrow"), recursive=True)
+        return hits[0] if hits else None
+
+    f = find(split)
+    if f is None and split == "train":
+        f = find("validation")
+        if f is not None:
+            log.warning("train split not bundled under %s; using validation for calibration",
+                        corpus_dir)
+    if f is None:
+        raise FileNotFoundError(f"no {split} arrow under {corpus_dir}")
+    return Dataset.from_file(f)
+
+
+def get_wikitext2(tokenizer, split="test", nsamples=128, seqlen=2048, seed=42, **kw):
+    path = find_data_path("wikitext")
+    if path is None:
+        raise FileNotFoundError("wikitext corpus not found; set MI_TPU_DATA_DIR")
+    ds = _load_arrow_split(path, split)
+    ids = encode_ids(tokenizer, "\n\n".join(ds["text"]))
+    return _crops(ids, nsamples, seqlen, seed, split)
+
+
+def get_ptb(tokenizer, split="test", nsamples=128, seqlen=2048, seed=42, **kw):
+    path = find_data_path("ptb_text_only")
+    if path is None:
+        raise FileNotFoundError("ptb corpus not found; set MI_TPU_DATA_DIR")
+    ds = _load_arrow_split(path, split)
+    ids = encode_ids(tokenizer, " ".join(ds["sentence"]))
+    if split == "test":
+        nsamples = ids.shape[1] // seqlen
+    return _crops(ids, nsamples, seqlen, seed, split)
+
+
+def get_c4(tokenizer, split="validation", nsamples=128, seqlen=2048, seed=42, **kw):
+    local = find_data_path("c4")
+    if local is None:
+        raise FileNotFoundError(
+            "C4 requires either network access or a local copy under "
+            "MI_TPU_DATA_DIR/c4 (json.gz shards as in allenai/c4)"
+        )
+    from datasets import load_dataset
+
+    files = sorted(
+        os.path.join(local, f) for f in os.listdir(local) if f.endswith(".json.gz")
+    )
+    ds = load_dataset("json", data_files={split: files[:1]}, split=split)
+    texts = ds[:1100]["text"]
+    ids = encode_ids(tokenizer, " ".join(texts))
+    return _crops(ids, nsamples, seqlen, seed, "train" if split == "train" else "test")
+
+
+def get_test_loader(dataset_name, tokenizer, seqlen=2048, nsamples=128, seed=42, split="test"):
+    if dataset_name == "wikitext2":
+        return get_wikitext2(tokenizer, split=split, nsamples=nsamples, seqlen=seqlen, seed=seed)
+    if dataset_name == "ptb":
+        return get_ptb(tokenizer, split=split, nsamples=nsamples, seqlen=seqlen, seed=seed)
+    if dataset_name == "c4":
+        return get_c4(tokenizer, nsamples=nsamples, seqlen=seqlen, seed=seed)
+    raise ValueError(f"unknown dataset {dataset_name!r}")
+
+
+def get_calibrate_loader(tokenizer, cfg: CalibrationConfig) -> List[np.ndarray]:
+    name = cfg.name
+    if name == "wikitext2":
+        return get_wikitext2(tokenizer, split=cfg.split, nsamples=cfg.nsamples,
+                             seqlen=cfg.seqlen, seed=cfg.seed)
+    if name == "ptb":
+        return get_ptb(tokenizer, split=cfg.split, nsamples=cfg.nsamples,
+                       seqlen=cfg.seqlen, seed=cfg.seed)
+    if name == "c4":
+        return get_c4(tokenizer, split="train", nsamples=cfg.nsamples,
+                      seqlen=cfg.seqlen, seed=cfg.seed)
+    if name == "ceval":
+        from .ceval import get_calibrate_ceval
+        return get_calibrate_ceval(tokenizer, subject=cfg.subject, nsamples=cfg.nsamples,
+                                   seqlen=cfg.seqlen)
+    if name == "cmmlu":
+        from .cmmlu import get_calibrate_cmmlu
+        return get_calibrate_cmmlu(tokenizer, subject=cfg.subject, nsamples=cfg.nsamples,
+                                   seqlen=cfg.seqlen)
+    if name == "boss":
+        from .boss import get_calibrate_boss
+        return get_calibrate_boss(tokenizer, nsamples=cfg.nsamples, seqlen=cfg.seqlen)
+    raise ValueError(f"unsupported calibrate name {name!r}")

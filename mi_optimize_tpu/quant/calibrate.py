@@ -101,8 +101,15 @@ def sequential_quantize(
     calib_batches: List[np.ndarray],
     *,
     progress: bool = True,
+    journal=None,
 ) -> Dict[str, Any]:
-    """Quantize all transformer blocks layer-sequentially; returns new params."""
+    """Quantize all transformer blocks layer-sequentially; returns new params.
+
+    `journal` (export.checkpoint.CalibrationJournal) makes the pass resumable:
+    completed blocks and the current ping-pong activations are persisted and
+    skipped on restart — the mid-run crash-resumability the reference lacks
+    (SURVEY.md §5.4).
+    """
     seqlen = calib_batches[0].shape[-1]
     cos, sin = llama.rope_tables(cfg, jnp.arange(seqlen))
     mask = llama.causal_mask(seqlen)
@@ -112,7 +119,18 @@ def sequential_quantize(
 
     kinds = tuple(dict.fromkeys(tuple(algo.stats) + tuple(algo.act_stats())))
     new_layers = []
+    resume_from = -1
+    if journal is not None:
+        resume_from = journal.last_completed()
+        if resume_from >= 0:
+            new_layers = [journal.load_block(i) for i in range(resume_from + 1)]
+            saved = journal.load_acts()
+            if saved is not None:
+                xs = saved
+            log.info("resuming calibration after block %d", resume_from)
     for i, fp_blk in enumerate(params["layers"]):
+        if i <= resume_from:
+            continue
         blk = {k: jax.device_put(v) for k, v in fp_blk.items()}
         if not quant_cfg.block_sequential:
             # fp propagation: next-block inputs from the unquantized block
@@ -134,6 +152,8 @@ def sequential_quantize(
             outs = fp_outs
         xs = outs  # ping-pong (llama_seq.py:155-158)
         new_layers.append(jax.device_get(blk))
+        if journal is not None:
+            journal.save_block(i, new_layers[-1], xs=xs)
         if progress:
             log.info("quantized block %d/%d", i + 1, len(params["layers"]))
 
