@@ -1,0 +1,71 @@
+"""Offline-runnable lm-eval tasks over the bundled corpora.
+
+The reference registers ~190 remote-dataset tasks
+(benchmark/lmeval/tasks/__init__.py:45-262); those need network. Here we
+register the task *shapes* the harness exercises — multiple-choice (C-Eval /
+CMMLU via loglikelihood over the four choice strings, the standard
+hendrycks-style MC protocol) and rolling perplexity (wikitext) — over data
+that resolves offline. Remote lm-eval task definitions can be added through
+the same register_task hook when network/datasets are available.
+"""
+from __future__ import annotations
+
+from typing import List
+
+from ..datasets import mcqa as D
+from .lmeval import MultipleChoiceTask, PerplexityTask, register_task
+
+
+class _McqaBase(MultipleChoiceTask):
+    bench = "ceval"
+    subject_filter = "all"
+    split = "val"
+
+    def docs(self) -> List[dict]:
+        docs = []
+        for sub in D.get_subjects(self.bench, self.subject_filter):
+            rows_fn = D._rows_ceval if self.bench == "ceval" else D._rows_cmmlu
+            for r in rows_fn(sub, self.split):
+                if str(r.get("answer", "")).strip().upper() in "ABCD" and r.get("question"):
+                    docs.append(r)
+        return docs
+
+    def fewshot_context(self, doc, num_shot, rng):
+        ctx = ""
+        if num_shot:
+            shots = D.get_questions(self.bench, subject=self.subject_filter,
+                                    split=self.split, question=num_shot, answer=True)
+            ctx = "\n\n".join(shots[:num_shot]) + "\n\n"
+        return ctx + f"{doc['question']}\n答案："
+
+    def choices(self, doc):
+        return [doc[c] for c in "ABCD"]
+
+    def gold(self, doc):
+        return "ABCD".index(str(doc["answer"]).strip().upper())
+
+
+@register_task("ceval_mc")
+class CevalMC(_McqaBase):
+    bench = "ceval"
+    split = "val"
+
+
+@register_task("cmmlu_mc")
+class CmmluMC(_McqaBase):
+    bench = "cmmlu"
+    split = "test"
+
+
+@register_task("wikitext")
+class WikitextPPL(PerplexityTask):
+    def docs(self):
+        from ..datasets.calibration import _load_arrow_split, find_data_path
+
+        path = find_data_path("wikitext")
+        if path is None:
+            return []
+        ds = _load_arrow_split(path, "test")
+        text = "\n\n".join(ds["text"])
+        # split the corpus into paragraph docs like lm-eval's wikitext task
+        return [{"text": t} for t in text.split("\n\n") if len(t) > 200][:64]
