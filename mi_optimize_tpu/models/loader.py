@@ -1,0 +1,100 @@
+"""HuggingFace checkpoint loading: safetensors llama-family -> our params pytree.
+
+Replaces the reference's reliance on transformers AutoModelForCausalLM
+(examples/quantize.py:14): we read config.json + *.safetensors directly (no
+torch needed), keep weights as host numpy (layer-streaming calibration
+device_puts one block at a time — SURVEY.md §3.1 device boundaries), and wrap
+every linear in a QuantizedLinear.
+
+Supported model_types: llama, mistral, qwen2 (GQA + attn bias via config).
+"""
+from __future__ import annotations
+
+import glob
+import json
+import logging
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from .llama import LlamaConfig
+from .model import Model
+from .quant_linear import QuantizedLinear
+
+log = logging.getLogger(__name__)
+
+
+def config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
+    n_heads = cfg["num_attention_heads"]
+    hidden = cfg["hidden_size"]
+    return LlamaConfig(
+        vocab_size=cfg["vocab_size"],
+        hidden_size=hidden,
+        intermediate_size=cfg["intermediate_size"],
+        num_layers=cfg["num_hidden_layers"],
+        num_heads=n_heads,
+        num_kv_heads=cfg.get("num_key_value_heads", n_heads),
+        head_dim=cfg.get("head_dim", hidden // n_heads),
+        rms_eps=cfg.get("rms_norm_eps", 1e-5),
+        rope_theta=cfg.get("rope_theta", 10000.0),
+        max_seq_len=min(cfg.get("max_position_embeddings", 2048), 8192),
+        tie_embeddings=cfg.get("tie_word_embeddings", False),
+        attn_bias=cfg.get("model_type") == "qwen2" or cfg.get("attention_bias", False),
+    )
+
+
+def _open_shards(path: str):
+    from safetensors import safe_open
+
+    files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors under {path}")
+    handles = [safe_open(f, framework="numpy") for f in files]
+    index = {}
+    for h in handles:
+        for k in h.keys():
+            index[k] = h
+    return index
+
+
+def load_llama_from_hf(path: str, dtype=np.float32) -> Model:
+    with open(os.path.join(path, "config.json")) as f:
+        hf_cfg = json.load(f)
+    cfg = config_from_hf(hf_cfg)
+    family = hf_cfg.get("model_type", "llama")
+    idx = _open_shards(path)
+
+    def get(name) -> np.ndarray:
+        return idx[name].get_tensor(name).astype(dtype)
+
+    def lin(name, bias_ok=False):
+        w = get(f"{name}.weight")
+        b = None
+        if bias_ok and f"{name}.bias" in idx:
+            b = get(f"{name}.bias")
+        return QuantizedLinear.fp(w, b)
+
+    params: Dict[str, Any] = {
+        "embed": get("model.embed_tokens.weight"),
+        "final_norm": get("model.norm.weight"),
+        "layers": [],
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = lin("lm_head")
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}"
+        params["layers"].append({
+            "input_norm": get(f"{p}.input_layernorm.weight"),
+            "post_norm": get(f"{p}.post_attention_layernorm.weight"),
+            "q_proj": lin(f"{p}.self_attn.q_proj", bias_ok=True),
+            "k_proj": lin(f"{p}.self_attn.k_proj", bias_ok=True),
+            "v_proj": lin(f"{p}.self_attn.v_proj", bias_ok=True),
+            "o_proj": lin(f"{p}.self_attn.o_proj"),
+            "gate_proj": lin(f"{p}.mlp.gate_proj"),
+            "up_proj": lin(f"{p}.mlp.up_proj"),
+            "down_proj": lin(f"{p}.mlp.down_proj"),
+        })
+        log.debug("loaded block %d/%d", i + 1, cfg.num_layers)
+    return Model(config=cfg, params=params,
+                 family=family if family in ("llama", "mistral", "qwen2") else "llama")
