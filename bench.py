@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Headline benchmark: int4 (GPTQ-layout W4A16) Llama-2-7B decode tokens/s/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline = fraction of the HBM-bandwidth roofline ("speed of light": one
+full read of the packed weights per decoded token at ~819 GB/s on v5e).
+
+Weights are generated and quantized layer-by-layer *on device* (host<->device
+transfers over this environment's TPU tunnel are slow and would dominate), and
+the decode loop runs as a single on-device lax.scan.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_quantized_llama_on_device(cfg, bits=4, groupsize=128, dtype=jnp.bfloat16):
+    from functools import partial
+
+    from mi_optimize_tpu.core import packing, qparams
+    from mi_optimize_tpu.core.qparams import qrange
+    from mi_optimize_tpu.models.quant_linear import QuantSpec, QuantizedLinear
+
+    rng = qrange(bits, True)
+    spec = QuantSpec(wbit=bits, w_qtype="per_group", w_groupsize=groupsize, w_packed=True)
+
+    @partial(jax.jit, static_argnames=("out_f", "in_f"))
+    def make_packed(key, out_f, in_f):
+        w = jax.random.normal(key, (out_f, in_f), jnp.float32) * (in_f ** -0.5)
+        fake, scale, zero = qparams.quantize_dequantize(w, bits, "per_group", groupsize)
+        ints = qparams.quantize_to_int(fake, scale, zero, bits, "per_group", groupsize)
+        return packing.pack_weight_device(ints, bits, rng), scale, zero
+
+    key = jax.random.PRNGKey(0)
+    h, q_dim = cfg.hidden_size, cfg.num_heads * cfg.head_dim
+    kv_dim = cfg.num_kv_heads * cfg.head_dim
+
+    def lin(key, out_f, in_f):
+        packed, scale, zero = make_packed(key, out_f, in_f)
+        return QuantizedLinear(spec=spec, out_features=out_f, in_features=in_f,
+                               packed=packed, w_scale=scale, w_zero=zero)
+
+    layers = []
+    for i in range(cfg.num_layers):
+        key, *ks = jax.random.split(key, 8)
+        layers.append({
+            "input_norm": jnp.ones((h,), dtype),
+            "post_norm": jnp.ones((h,), dtype),
+            "q_proj": lin(ks[0], q_dim, h),
+            "k_proj": lin(ks[1], kv_dim, h),
+            "v_proj": lin(ks[2], kv_dim, h),
+            "o_proj": lin(ks[3], h, q_dim),
+            "gate_proj": lin(ks[4], cfg.intermediate_size, h),
+            "up_proj": lin(ks[5], cfg.intermediate_size, h),
+            "down_proj": lin(ks[6], h, cfg.intermediate_size),
+        })
+    key, k1, k2 = jax.random.split(key, 3)
+    params = {
+        "embed": (jax.random.normal(k1, (cfg.vocab_size, h), dtype) * 0.02),
+        "layers": layers,
+        "final_norm": jnp.ones((h,), dtype),
+        "lm_head": lin(k2, cfg.vocab_size, h),
+    }
+    return params
+
+
+def main():
+    from mi_optimize_tpu.models.llama import LlamaConfig
+    from mi_optimize_tpu.models.model import Model
+    from mi_optimize_tpu.serving import decode_loop, init_cache, prefill
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu:
+        cfg = LlamaConfig.llama2_7b()
+        prompt_len, n_decode = 128, 32
+        groupsize = 128
+    else:  # CPU smoke fallback keeps the harness runnable anywhere
+        cfg = LlamaConfig.tiny(hidden_size=128, intermediate_size=256, head_dim=32)
+        prompt_len, n_decode = 16, 8
+        groupsize = 32
+
+    params = build_quantized_llama_on_device(cfg, groupsize=groupsize)
+    model = Model(config=cfg, params=params, family="llama")
+
+    batch = 1
+    total = prompt_len + n_decode + 4
+    cache = init_cache(cfg, batch, total, jnp.bfloat16)
+    key = jax.random.PRNGKey(1)
+    ids = jax.random.randint(key, (batch, prompt_len), 0, cfg.vocab_size)
+
+    logits, cache = prefill(params, cfg, ids, cache, True)
+    tok = jnp.argmax(logits, -1)[:, None]
+    pos0 = jnp.asarray(prompt_len)
+
+    # compile + warm
+    toks, cache2 = decode_loop(params, cfg, tok, cache, pos0, n_decode, True)
+    toks.block_until_ready()
+    t0 = time.perf_counter()
+    toks, _ = decode_loop(params, cfg, tok, cache, pos0, n_decode, True)
+    toks.block_until_ready()
+    dt = time.perf_counter() - t0
+    toks_per_s = n_decode * batch / dt
+
+    # roofline: one full packed-weight read per token
+    wbytes = 0
+    for leaf in jax.tree.leaves(params):
+        wbytes += leaf.size * leaf.dtype.itemsize
+    bw = 819e9 if on_tpu else 50e9
+    sol_tokens_per_s = bw / wbytes
+    print(json.dumps({
+        "metric": "llama2_7b_int4_decode_tokens_per_s_per_chip" if on_tpu
+                  else "tiny_int4_decode_tokens_per_s (cpu fallback)",
+        "value": round(toks_per_s, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(toks_per_s / sol_tokens_per_s, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,1 @@
-from .engine import decode_step, generate, init_cache, prefill  # noqa: F401
+from .engine import decode_loop, decode_step, generate, init_cache, prefill  # noqa: F401

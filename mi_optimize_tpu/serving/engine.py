@@ -49,8 +49,7 @@ def prefill(params, cfg, input_ids, cache, fused=True):
     return logits, new_cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "fused"))
-def decode_step(params, cfg, token, cache, pos, fused=True):
+def _decode_core(params, cfg, token, cache, pos, fused=True):
     """One autoregressive step. token [B,1], pos scalar; returns (logits, cache)."""
     max_len = cache[0][0].shape[1]
     x = llama.embed(params, token)
@@ -65,6 +64,29 @@ def decode_step(params, cfg, token, cache, pos, fused=True):
     x = llama.rms_norm(x, params["final_norm"], cfg.rms_eps)
     logits = llama.unembed(params, cfg, x, fused=fused)[:, 0]
     return logits, new_cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "fused"))
+def decode_step(params, cfg, token, cache, pos, fused=True):
+    return _decode_core(params, cfg, token, cache, pos, fused)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n", "fused"))
+def decode_loop(params, cfg, token, cache, pos0, n, fused=True):
+    """Greedy-decode `n` tokens entirely on device (one dispatch).
+
+    lax.scan keeps the autoregressive loop inside the compiled program —
+    essential when host<->device dispatch latency is non-trivial, and the shape
+    the multi-host serving path uses (no per-token host round-trips).
+    """
+    def step(carry, _):
+        tok, cache, pos = carry
+        logits, cache = _decode_core(params, cfg, tok, cache, pos, fused)
+        nt = jnp.argmax(logits, -1).astype(tok.dtype)[:, None]
+        return (nt, cache, pos + 1), nt[:, 0]
+
+    (tok, cache, pos), toks = jax.lax.scan(step, (token, cache, pos0), None, length=n)
+    return jnp.swapaxes(toks, 0, 1), cache
 
 
 def _sample(logits, temperature, key):
