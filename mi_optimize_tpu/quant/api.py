@@ -28,6 +28,7 @@ def quantize(
     quant_config: Union[QuantConfig, Dict[str, Any], str],
     calib_data: Optional[List[np.ndarray]] = None,
     tokenizer=None,
+    journal=None,
 ) -> Model:
     """Quantize `model` according to `quant_config`.
 
@@ -60,16 +61,21 @@ def quantize(
     log.info("quantizing family=%s algo=%s w=%s a=%s", model.family, cfg.algo,
              cfg.wbit.name, cfg.abit.name)
 
-    if model.family in _SEQUENTIAL_FAMILIES and cfg.layer_sequential:
-        if not calib_data:
-            # algorithms with no stats (RTN weight-only dynamic) still walk the
-            # sequential driver, but with no forward passes needed
-            from .calibrate import quantize_blocks_dataless
-
-            params = quantize_blocks_dataless(model.params, cfg, algo)
-        else:
-            params = sequential_quantize(model.params, model.config, cfg, algo, calib_data)
-    else:
+    if model.family not in _SEQUENTIAL_FAMILIES:
         raise NotImplementedError(f"family {model.family} not yet supported")
+    if not calib_data:
+        # algorithms with no stats (RTN weight-only dynamic) still walk the
+        # sequential driver, but with no forward passes needed
+        from .calibrate import quantize_blocks_dataless
+
+        params = quantize_blocks_dataless(model.params, cfg, algo)
+    elif cfg.layer_sequential:
+        params = sequential_quantize(model.params, model.config, cfg, algo, calib_data,
+                                     journal=journal)
+    else:
+        # generic full-model driver (quant_other_model parity)
+        from .calibrate import full_model_quantize
+
+        params = full_model_quantize(model.params, model.config, cfg, algo, calib_data)
 
     return Model(config=model.config, params=params, family=model.family)

@@ -25,6 +25,7 @@ weights; see `ComboAlgo`.
 from __future__ import annotations
 
 import logging
+import re
 from functools import partial
 from typing import Any, Dict, List, Optional
 
@@ -38,6 +39,13 @@ from .base import BaseAlgo, init_stats, update_stats_device, update_stats_host
 from .config import QuantConfig
 
 log = logging.getLogger(__name__)
+
+
+def _selected(cfg: QuantConfig, path: str) -> bool:
+    """Regex include/exclude selection of linears to quantize — parity with
+    replace_module's filters (/root/reference/mi_optimize/quantization/
+    utils.py:35-68); paths look like 'layers.3.q_proj' or 'lm_head'."""
+    return bool(re.search(cfg.include, path)) and not re.search(cfg.exclude, path)
 
 
 @partial(jax.jit, static_argnames=("cfg", "capture_name"))
@@ -82,11 +90,12 @@ def quantize_blocks_dataless(
     """Quantize every block without calibration forwards (RTN/ZeroQuant/FP8
     weight-only dynamic configs need no stats)."""
     new_layers = []
-    for fp_blk in params["layers"]:
+    for i, fp_blk in enumerate(params["layers"]):
         blk = dict(fp_blk)
         for group in GROUP_ORDER:
             for name in group:
-                blk[name] = algo.quantize_linear(blk[name], {})
+                if _selected(quant_cfg, f"layers.{i}.{name}"):
+                    blk[name] = algo.quantize_linear(blk[name], {})
         new_layers.append(jax.device_get(blk))
     out = dict(params)
     out["layers"] = new_layers
@@ -138,10 +147,13 @@ def sequential_quantize(
                        for x in xs]
 
         for group in GROUP_ORDER:
+            sel = [n for n in group if _selected(quant_cfg, f"layers.{i}.{n}")]
+            if not sel:
+                continue
             lead = group[0]
             in_features = blk[lead].in_features
             stats = _collect_group_stats(blk, xs, cos, sin, mask, cfg, lead, kinds, in_features)
-            for name in group:
+            for name in sel:
                 blk[name] = algo.quantize_linear(blk[name], stats)
             del stats
 
@@ -160,3 +172,79 @@ def sequential_quantize(
     out_params = dict(params)
     out_params["layers"] = new_layers
     return out_params
+
+
+# ---------------------------------------------------------------------------
+# generic (non-sequential) driver — parity with quant_other_model
+# (/root/reference/mi_optimize/quantization/models/quant_other_model.py:12-88):
+# wrap ALL linears at once, run full-model calibration forwards, quantize each.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _full_forward_captures(params, cfg: LlamaConfig, ids):
+    """One full-model forward returning per-block capture dicts."""
+    B, S = ids.shape
+    x = llama.embed(params, ids)
+    cos, sin = llama.rope_tables(cfg, jnp.arange(S))
+    mask = llama.causal_mask(S)
+    all_caps = []
+    for blk in params["layers"]:
+        x, _, caps = llama.block_apply(blk, x, cos, sin, mask, cfg, capture=True, fused=False)
+        all_caps.append({g[0]: caps[g[0]] for g in GROUP_ORDER})
+    return all_caps
+
+
+def full_model_quantize(
+    params: Dict[str, Any],
+    cfg: LlamaConfig,
+    quant_cfg: QuantConfig,
+    algo: BaseAlgo,
+    calib_batches: List[np.ndarray],
+) -> Dict[str, Any]:
+    """Non-layer-sequential calibration: stats for every linear from full-model
+    forwards with ORIGINAL fp weights throughout, then quantize everything."""
+    kinds = tuple(dict.fromkeys(tuple(algo.stats) + tuple(algo.act_stats())))
+    dev_kinds = tuple(k for k in kinds if k != "inputs")
+    nlayers = len(params["layers"])
+    leads = [g[0] for g in GROUP_ORDER]
+
+    stats = [
+        {lead: init_stats(kinds, params["layers"][i][lead].in_features) for lead in leads}
+        for i in range(nlayers)
+    ]
+
+    @partial(jax.jit, static_argnames=())
+    def update_all(dev_stats, all_caps):
+        return [
+            {lead: update_stats_device(dev_kinds, dev_stats[i][lead], all_caps[i][lead])
+             for lead in leads}
+            for i in range(nlayers)
+        ]
+
+    dev_stats = [
+        {lead: {k: v for k, v in stats[i][lead].items() if k != "inputs"} for lead in leads}
+        for i in range(nlayers)
+    ]
+    for b in calib_batches:
+        all_caps = _full_forward_captures(params, cfg, jnp.asarray(b))
+        if dev_kinds:
+            dev_stats = update_all(dev_stats, all_caps)
+        if "inputs" in kinds:
+            for i in range(nlayers):
+                for lead in leads:
+                    stats[i][lead] = update_stats_host(kinds, stats[i][lead], all_caps[i][lead])
+    for i in range(nlayers):
+        for lead in leads:
+            stats[i][lead].update(dev_stats[i][lead])
+
+    new_layers = []
+    for i, fp_blk in enumerate(params["layers"]):
+        blk = dict(fp_blk)
+        for group in GROUP_ORDER:
+            for name in group:
+                if _selected(quant_cfg, f"layers.{i}.{name}"):
+                    blk[name] = algo.quantize_linear(blk[name], stats[i][group[0]])
+        new_layers.append(jax.device_get(blk))
+    out = dict(params)
+    out["layers"] = new_layers
+    return out
