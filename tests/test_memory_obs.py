@@ -1,0 +1,45 @@
+"""Memory residency manager + observability manifest tests."""
+import json
+
+import numpy as np
+
+from mi_optimize_tpu.memory import Memory, MemoryBank, clear_mem, show_memory
+from mi_optimize_tpu.utils import RunManifest, config_hash
+
+
+def test_memory_residency_roundtrip(tmp_path):
+    v = np.arange(12, dtype=np.float32).reshape(3, 4)
+    m = Memory(v, desc="host", spill_dir=str(tmp_path))
+    m.to("disk")
+    assert m.desc == "disk"
+    np.testing.assert_array_equal(m.value, v)
+    m.to("device")
+    assert m.desc == "device"
+    np.testing.assert_array_equal(np.asarray(m.value), v)
+    m.to("host")
+    np.testing.assert_array_equal(m.value, v)
+
+
+def test_memory_bank():
+    bank = MemoryBank()
+    bank.add_value("a", np.ones(4), desc="disk")
+    np.testing.assert_array_equal(bank.get("a").value, np.ones(4))
+    bank.clear()
+    clear_mem()
+    assert "bytes_in_use" in show_memory() or "device" in show_memory()
+
+
+def test_run_manifest(tmp_path):
+    from mi_optimize_tpu.quant.config import QuantConfig
+
+    cfg = QuantConfig(algo="rtn", wbit="int4")
+    m = RunManifest("test", config=cfg)
+    with m.phase("calibrate"):
+        pass
+    m.metric("ppl", 5.47)
+    p = m.save(str(tmp_path / "run.json"))
+    data = json.loads(open(p).read())
+    assert data["metrics"]["ppl"] == 5.47
+    assert "calibrate" in data["phases"]
+    assert len(data["config_hash"]) == 16
+    assert config_hash(cfg) == data["config_hash"]
