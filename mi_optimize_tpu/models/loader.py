@@ -84,17 +84,31 @@ def load_llama_from_hf(path: str, dtype=np.float32) -> Model:
         params["lm_head"] = lin("lm_head")
     for i in range(cfg.num_layers):
         p = f"model.layers.{i}"
-        params["layers"].append({
+        blk = {
             "input_norm": get(f"{p}.input_layernorm.weight"),
             "post_norm": get(f"{p}.post_attention_layernorm.weight"),
-            "q_proj": lin(f"{p}.self_attn.q_proj", bias_ok=True),
-            "k_proj": lin(f"{p}.self_attn.k_proj", bias_ok=True),
-            "v_proj": lin(f"{p}.self_attn.v_proj", bias_ok=True),
             "o_proj": lin(f"{p}.self_attn.o_proj"),
             "gate_proj": lin(f"{p}.mlp.gate_proj"),
             "up_proj": lin(f"{p}.mlp.up_proj"),
             "down_proj": lin(f"{p}.mlp.down_proj"),
-        })
+        }
+        if f"{p}.self_attn.W_pack.weight" in idx:
+            # Baichuan fuses QKV into W_pack (reference handles it as one group,
+            # baichuan_seq.py:70-74). We split it at load: for per-output-row
+            # algorithms (RTN/GPTQ/SpQR — all rows independent given the shared
+            # input Hessian) slicing is numerically identical to quantizing the
+            # fused matrix; AWQ's layer-MSE then scores per projection instead
+            # of jointly (documented deviation).
+            wp = get(f"{p}.self_attn.W_pack.weight")
+            h = cfg.hidden_size
+            blk["q_proj"] = QuantizedLinear.fp(wp[:h])
+            blk["k_proj"] = QuantizedLinear.fp(wp[h : 2 * h])
+            blk["v_proj"] = QuantizedLinear.fp(wp[2 * h :])
+        else:
+            blk["q_proj"] = lin(f"{p}.self_attn.q_proj", bias_ok=True)
+            blk["k_proj"] = lin(f"{p}.self_attn.k_proj", bias_ok=True)
+            blk["v_proj"] = lin(f"{p}.self_attn.v_proj", bias_ok=True)
+        params["layers"].append(blk)
         log.debug("loaded block %d/%d", i + 1, cfg.num_layers)
     return Model(config=cfg, params=params,
-                 family=family if family in ("llama", "mistral", "qwen2") else "llama")
+                 family=family if family in ("llama", "mistral", "qwen2", "baichuan") else "llama")
