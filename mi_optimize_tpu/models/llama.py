@@ -50,6 +50,10 @@ class LlamaConfig:
     max_seq_len: int = 2048
     tie_embeddings: bool = False
     attn_bias: bool = False  # Qwen2-style qkv bias
+    # ChatGLM-style rotary: applied to the first `rotary_dim` dims only, with
+    # interleaved (even/odd) pairing instead of the HF split-half convention
+    rotary_dim: int = -1     # -1 => full head_dim
+    rope_interleaved: bool = False
 
     @classmethod
     def tiny(cls, **kw):
@@ -114,21 +118,41 @@ def rms_norm(x, weight, eps):
 
 
 def rope_tables(cfg: LlamaConfig, positions: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """cos/sin tables [*, head_dim] for given positions (HF split-half layout)."""
-    inv_freq = 1.0 / (cfg.rope_theta ** (np.arange(0, cfg.head_dim, 2) / cfg.head_dim))
+    """cos/sin tables [*, rotary_dim] for given positions."""
+    rd = cfg.rotary_dim if cfg.rotary_dim > 0 else cfg.head_dim
+    inv_freq = 1.0 / (cfg.rope_theta ** (np.arange(0, rd, 2) / rd))
     freqs = positions.astype(jnp.float32)[..., None] * jnp.asarray(inv_freq, jnp.float32)
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)
 
 
-def apply_rope(x, cos, sin):
-    """x: [..., seq, heads, head_dim]; cos/sin: [seq, head_dim] (broadcast)."""
-    half = x.shape[-1] // 2
-    x1, x2 = x[..., :half], x[..., half:]
-    rotated = jnp.concatenate([-x2, x1], axis=-1)
+def apply_rope(x, cos, sin, cfg: LlamaConfig):
+    """x: [..., seq, heads, head_dim]; cos/sin: [seq, rotary_dim] (broadcast).
+
+    HF llama split-half by default; ChatGLM-style interleaved + partial when
+    cfg.rope_interleaved / cfg.rotary_dim are set.
+    """
+    rd = cfg.rotary_dim if cfg.rotary_dim > 0 else x.shape[-1]
+    xr, x_pass = x[..., :rd], x[..., rd:]
     c = cos[..., :, None, :]
     s = sin[..., :, None, :]
-    return (x * c + rotated * s).astype(x.dtype)
+    if cfg.rope_interleaved:
+        # pairs are (even, odd) lanes; tables are [f0, f1, ...] duplicated
+        half = rd // 2
+        x1 = xr[..., 0::2]
+        x2 = xr[..., 1::2]
+        ch, sh = c[..., :half], s[..., :half]
+        o1 = x1 * ch - x2 * sh
+        o2 = x2 * ch + x1 * sh
+        rot = jnp.stack([o1, o2], axis=-1).reshape(xr.shape)
+    else:
+        half = rd // 2
+        x1, x2 = xr[..., :half], xr[..., half:]
+        rotated = jnp.concatenate([-x2, x1], axis=-1)
+        rot = xr * c + rotated * s
+    if x_pass.shape[-1]:
+        rot = jnp.concatenate([rot.astype(x.dtype), x_pass], axis=-1)
+    return rot.astype(x.dtype)
 
 
 def attention(q, k, v, mask, cfg: LlamaConfig):
@@ -176,8 +200,8 @@ def block_apply(
     q = q.reshape(B, S, cfg.num_heads, cfg.head_dim)
     k = k.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    q = apply_rope(q, cos, sin, cfg)
+    k = apply_rope(k, cos, sin, cfg)
 
     if kv_cache is not None:
         ck, cv = kv_cache
@@ -212,7 +236,8 @@ def causal_mask(seq_len: int) -> jnp.ndarray:
 
 
 def embed(params, input_ids):
-    return params["embed"][input_ids]
+    # jnp.asarray: params may carry host-numpy leaves (layer-streaming loader)
+    return jnp.asarray(params["embed"])[input_ids]
 
 
 def unembed(params, cfg: LlamaConfig, h, fused=True):

@@ -26,6 +26,25 @@ log = logging.getLogger(__name__)
 
 
 def config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
+    if cfg.get("model_type") == "chatglm":
+        # ChatGLM2/3: fused qkv+mlp (split at load), MQA via
+        # multi_query_group_num, interleaved rotary over half the head dim
+        head_dim = cfg.get("kv_channels", cfg["hidden_size"] // cfg["num_attention_heads"])
+        return LlamaConfig(
+            vocab_size=cfg.get("padded_vocab_size", cfg.get("vocab_size")),
+            hidden_size=cfg["hidden_size"],
+            intermediate_size=cfg["ffn_hidden_size"],
+            num_layers=cfg["num_layers"],
+            num_heads=cfg["num_attention_heads"],
+            num_kv_heads=cfg.get("multi_query_group_num", cfg["num_attention_heads"]),
+            head_dim=head_dim,
+            rms_eps=cfg.get("layernorm_epsilon", 1e-5),
+            rope_theta=10000.0 * cfg.get("rope_ratio", 1.0),
+            max_seq_len=min(cfg.get("seq_length", 2048), 8192),
+            attn_bias=cfg.get("add_qkv_bias", True),
+            rotary_dim=head_dim // 2,
+            rope_interleaved=True,
+        )
     n_heads = cfg["num_attention_heads"]
     hidden = cfg["hidden_size"]
     return LlamaConfig(
@@ -64,6 +83,8 @@ def load_llama_from_hf(path: str, dtype=np.float32) -> Model:
     cfg = config_from_hf(hf_cfg)
     family = hf_cfg.get("model_type", "llama")
     idx = _open_shards(path)
+    if family == "chatglm":
+        return _load_chatglm(cfg, idx, dtype)
 
     def get(name) -> np.ndarray:
         return idx[name].get_tensor(name).astype(dtype)
@@ -112,3 +133,50 @@ def load_llama_from_hf(path: str, dtype=np.float32) -> Model:
         log.debug("loaded block %d/%d", i + 1, cfg.num_layers)
     return Model(config=cfg, params=params,
                  family=family if family in ("llama", "mistral", "qwen2", "baichuan") else "llama")
+
+
+def _load_chatglm(cfg: LlamaConfig, idx, dtype) -> Model:
+    """ChatGLM2/3 checkpoint -> llama-shaped params.
+
+    Fused query_key_value and dense_h_to_4h are split at load (role of the
+    reference's chatglm driver groups [query_key_value][dense][dense_h_to_4h]
+    [dense_4h_to_h], chatglm_seq.py:70-75; per-output-row quantizers are
+    unaffected by the split — see the W_pack note above). dense_h_to_4h's
+    halves map onto (gate, up): chatglm computes silu(x0)·x1 over chunk(2).
+    """
+    def get(name):
+        return idx[name].get_tensor(name).astype(dtype)
+
+    h = cfg.hidden_size
+    kv_dim = cfg.num_kv_heads * cfg.head_dim
+    q_dim = cfg.num_heads * cfg.head_dim
+    params: Dict[str, Any] = {
+        "embed": get("transformer.embedding.word_embeddings.weight"),
+        "final_norm": get("transformer.encoder.final_layernorm.weight"),
+        "lm_head": QuantizedLinear.fp(get("transformer.output_layer.weight")),
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        p = f"transformer.encoder.layers.{i}"
+        qkv_w = get(f"{p}.self_attention.query_key_value.weight")
+        qkv_b = None
+        if f"{p}.self_attention.query_key_value.bias" in idx:
+            qkv_b = get(f"{p}.self_attention.query_key_value.bias")
+        h4 = get(f"{p}.mlp.dense_h_to_4h.weight")
+        inter = cfg.intermediate_size
+
+        def sl(w, b, a, bnd):
+            return QuantizedLinear.fp(w[a:bnd], None if b is None else b[a:bnd])
+
+        params["layers"].append({
+            "input_norm": get(f"{p}.input_layernorm.weight"),
+            "post_norm": get(f"{p}.post_attention_layernorm.weight"),
+            "q_proj": sl(qkv_w, qkv_b, 0, q_dim),
+            "k_proj": sl(qkv_w, qkv_b, q_dim, q_dim + kv_dim),
+            "v_proj": sl(qkv_w, qkv_b, q_dim + kv_dim, q_dim + 2 * kv_dim),
+            "o_proj": QuantizedLinear.fp(get(f"{p}.self_attention.dense.weight")),
+            "gate_proj": QuantizedLinear.fp(h4[:inter]),
+            "up_proj": QuantizedLinear.fp(h4[inter:]),
+            "down_proj": QuantizedLinear.fp(get(f"{p}.mlp.dense_4h_to_h.weight")),
+        })
+    return Model(config=cfg, params=params, family="chatglm")

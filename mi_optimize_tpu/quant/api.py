@@ -20,7 +20,7 @@ from .config import QuantConfig
 log = logging.getLogger(__name__)
 
 # families that use the llama-shaped sequential driver (block list + GROUP_ORDER)
-_SEQUENTIAL_FAMILIES = ("llama", "qwen2", "baichuan", "mistral")
+_SEQUENTIAL_FAMILIES = ("llama", "qwen2", "baichuan", "mistral", "chatglm")
 
 
 def quantize(

@@ -55,3 +55,51 @@ def test_hf_loader(tmp_path):
     logits = llama.forward(m.params, m.config, ids, fused=False)
     assert logits.shape == (1, 12, 64)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_chatglm_loader(tmp_path):
+    import jax.numpy as jnp
+    from safetensors.numpy import save_file
+
+    from mi_optimize_tpu.models import llama
+
+    hidden, heads, kv, hd, inter, vocab, layers = 32, 4, 2, 8, 48, 64, 2
+    cfg = {
+        "model_type": "chatglm", "padded_vocab_size": vocab, "hidden_size": hidden,
+        "ffn_hidden_size": inter, "num_layers": layers, "num_attention_heads": heads,
+        "multi_query_group_num": kv, "kv_channels": hd, "layernorm_epsilon": 1e-5,
+        "seq_length": 128, "add_qkv_bias": True,
+    }
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+    rng = np.random.default_rng(0)
+    qkv_dim = heads * hd + 2 * kv * hd
+    t = {
+        "transformer.embedding.word_embeddings.weight": rng.normal(size=(vocab, hidden)).astype(np.float32),
+        "transformer.encoder.final_layernorm.weight": np.ones(hidden, np.float32),
+        "transformer.output_layer.weight": rng.normal(size=(vocab, hidden)).astype(np.float32),
+    }
+    for i in range(layers):
+        p = f"transformer.encoder.layers.{i}"
+        t[f"{p}.input_layernorm.weight"] = np.ones(hidden, np.float32)
+        t[f"{p}.post_attention_layernorm.weight"] = np.ones(hidden, np.float32)
+        t[f"{p}.self_attention.query_key_value.weight"] = rng.normal(size=(qkv_dim, hidden)).astype(np.float32)
+        t[f"{p}.self_attention.query_key_value.bias"] = np.zeros(qkv_dim, np.float32)
+        t[f"{p}.self_attention.dense.weight"] = rng.normal(size=(hidden, heads * hd)).astype(np.float32)
+        t[f"{p}.mlp.dense_h_to_4h.weight"] = rng.normal(size=(2 * inter, hidden)).astype(np.float32)
+        t[f"{p}.mlp.dense_4h_to_h.weight"] = rng.normal(size=(hidden, inter)).astype(np.float32)
+    save_file(t, str(tmp_path / "model.safetensors"))
+
+    m = load_llama_from_hf(str(tmp_path))
+    assert m.family == "chatglm"
+    assert m.config.rope_interleaved and m.config.rotary_dim == hd // 2
+    ids = np.random.default_rng(1).integers(0, vocab, (1, 10))
+    logits = llama.forward(m.params, m.config, jnp.asarray(ids), fused=False)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    # quantization runs end-to-end on the chatglm family
+    import mi_optimize_tpu as mt
+    from mi_optimize_tpu.quant.config import QuantConfig
+
+    qm = mt.quantize(m, QuantConfig(algo="rtn", wbit="int4", w_qtype="per_group",
+                                    w_groupsize=8), calib_data=[ids])
+    assert qm.params["layers"][0]["q_proj"].packed is not None
