@@ -99,12 +99,13 @@ def main():
     tok = jnp.argmax(logits, -1)[:, None]
     pos0 = jnp.asarray(prompt_len)
 
-    # compile + warm
+    # compile + warm (scalar pull: on the remote-tunnel runtime block_until_ready
+    # has been observed to return before completion for large programs)
     toks, cache2 = decode_loop(params, cfg, tok, cache, pos0, n_decode, True)
-    toks.block_until_ready()
+    _ = int(toks[0, -1])
     t0 = time.perf_counter()
-    toks, _ = decode_loop(params, cfg, tok, cache, pos0, n_decode, True)
-    toks.block_until_ready()
+    toks, _cache = decode_loop(params, cfg, tok, cache, pos0, n_decode, True)
+    _ = int(toks[0, -1])
     dt = time.perf_counter() - t0
     toks_per_s = n_decode * batch / dt
 

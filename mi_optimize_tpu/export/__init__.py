@@ -1,1 +1,1 @@
-from .checkpoint import CalibrationJournal, load_model, save_model  # noqa: F401
+from .checkpoint import CalibrationJournal, export_packed, load_model, save_model  # noqa: F401

@@ -175,3 +175,60 @@ class CalibrationJournal:
             return None
         data = np.load(p)
         return [data[f"x{j}"] for j in range(len(data.files))]
+
+
+# ---------------------------------------------------------------------------
+# post-hoc packing: fake-quant model -> packed-kernel model
+# ---------------------------------------------------------------------------
+
+def export_packed(model: Model) -> Model:
+    """Convert fake-quant linears to packed-int linears (in-place of pytree).
+
+    Role of the reference's export_module swap
+    (/root/reference/mi_optimize/export/utils.py:8-22): only grid-faithful
+    algorithms pack (RTN/GPTQ/AWQ/SmoothQuant/ZeroQuant); SpQR (fp outliers)
+    and QuIP/FP8 (no integer grid + qparams) stay fake-quant, exactly like the
+    reference's QLinear support matrix.
+    """
+    import jax.numpy as jnp
+
+    from ..core import packing, qparams
+    from ..core.qparams import qrange
+
+    def pack_lin(lin):
+        if not isinstance(lin, QuantizedLinear):
+            return lin
+        s = lin.spec
+        if (lin.packed is not None or lin.weight is None or s.wbit is None
+                or lin.w_scale is None or s.fp8_format is not None):
+            return lin
+        if s.wbit not in (2, 4, 8):
+            return lin
+        # verify grid-faithfulness: dequant(int(w)) must reproduce fake_w
+        ints = qparams.quantize_to_int(
+            lin.weight.astype(jnp.float32), lin.w_scale, lin.w_zero,
+            s.wbit, s.w_qtype, s.w_groupsize, s.w_unsigned,
+        )
+        if s.w_qtype == "per_group" and s.w_groupsize > 0:
+            deq = (ints.reshape(-1, s.w_groupsize).astype(jnp.float32)
+                   - lin.w_zero.reshape(-1, 1)) * lin.w_scale.reshape(-1, 1)
+            deq = deq.reshape(lin.out_features, lin.in_features)
+        elif s.w_qtype == "per_channel":
+            deq = (ints.astype(jnp.float32) - lin.w_zero.reshape(-1, 1)) * lin.w_scale.reshape(-1, 1)
+        else:
+            deq = (ints.astype(jnp.float32) - jnp.reshape(lin.w_zero, ())) * jnp.reshape(lin.w_scale, ())
+        if not bool(jnp.allclose(deq, lin.weight.astype(jnp.float32), rtol=1e-4, atol=1e-5)):
+            return lin  # not on the grid (e.g. SpQR outliers) — keep fake
+        rng = qrange(s.wbit, s.w_unsigned)
+        packed = packing.pack_weight_device(ints, s.wbit, rng)
+        return lin.replace(weight=None, packed=packed,
+                           spec=s.replace(w_packed=True))
+
+    new_layers = []
+    for blk in model.params["layers"]:
+        new_layers.append({k: pack_lin(v) for k, v in blk.items()})
+    params = dict(model.params)
+    params["layers"] = new_layers
+    if "lm_head" in params:
+        params["lm_head"] = pack_lin(params["lm_head"])
+    return Model(config=model.config, params=params, family=model.family)

@@ -64,3 +64,34 @@ def test_journal_resume(tmp_path):
     w1 = np.asarray(full["layers"][0]["q_proj"].packed)
     w2 = np.asarray(resumed["layers"][0]["q_proj"].packed)
     np.testing.assert_array_equal(w1, w2)
+
+
+def test_export_packed_consistency():
+    """Fake-quant model -> export_packed -> identical generation (the
+    reference's export_module oracle, tests/test_export_module.py:12-40)."""
+    from mi_optimize_tpu.export import export_packed
+
+    qm, batches = quantized_tiny(pack=False)
+    assert qm.params["layers"][0]["q_proj"].packed is None
+    pm = export_packed(qm)
+    assert pm.params["layers"][0]["q_proj"].packed is not None
+    prompt = np.random.default_rng(3).integers(0, 256, (1, 8))
+    out_fake = generate(qm, prompt, max_new_tokens=6, fused=False)
+    out_packed = generate(pm, prompt, max_new_tokens=6, fused=False)
+    np.testing.assert_array_equal(out_fake, out_packed)
+
+
+def test_export_packed_skips_spqr():
+    import mi_optimize_tpu as mt
+    from mi_optimize_tpu.export import export_packed
+    from mi_optimize_tpu.models.model import Model as M
+
+    m = M.tiny_llama()
+    rng = np.random.default_rng(4)
+    batches = [rng.integers(0, 256, (1, 32))]
+    cfg = QuantConfig(algo="spqr", wbit="int4", w_groupsize=16, blocksize=32,
+                      qq_groupsize=8)
+    qm = mt.quantize(m, cfg, calib_data=batches)
+    pm = export_packed(qm)
+    # SpQR keeps fp outliers -> not grid-faithful -> must stay fake-quant
+    assert pm.params["layers"][0]["q_proj"].packed is None
