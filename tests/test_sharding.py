@@ -74,3 +74,23 @@ def test_hessian_psum_over_data_shards():
 
     f = shard_map(local_xtx, mesh=mesh, in_specs=P("data", None), out_specs=P())
     np.testing.assert_allclose(np.asarray(f(x)), x.T @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_absmax_and_row_parallel():
+    import jax.numpy as jnp
+
+    from mi_optimize_tpu.parallel.collectives import (
+        row_parallel_matmul, sharded_absmax, sharded_xtx,
+    )
+
+    mesh = make_mesh(n_model=2, n_data=4)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(sharded_xtx(x, mesh)),
+                               np.asarray(x).T @ np.asarray(x), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sharded_absmax(x, mesh)),
+                               np.abs(np.asarray(x)).max(0), rtol=1e-6)
+    w = jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32))
+    y = row_parallel_matmul(x, w, mesh)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x) @ np.asarray(w).T,
+                               rtol=1e-4, atol=1e-4)
