@@ -86,8 +86,11 @@ def main():
         prompt_len, n_decode = 16, 8
         groupsize = 32
 
+    from mi_optimize_tpu.serving import fuse_for_serving
+
     params = build_quantized_llama_on_device(cfg, groupsize=groupsize)
-    model = Model(config=cfg, params=params, family="llama")
+    model = fuse_for_serving(Model(config=cfg, params=params, family="llama"))
+    params = model.params
 
     batch = 1
     total = prompt_len + n_decode + 4

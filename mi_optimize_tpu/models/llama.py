@@ -190,13 +190,23 @@ def block_apply(
     """
     caps: Dict[str, jnp.ndarray] = {}
     B, S, _ = x.shape
+    q_dim = cfg.num_heads * cfg.head_dim
+    kv_dim = cfg.num_kv_heads * cfg.head_dim
 
     h = rms_norm(x, blk["input_norm"], cfg.rms_eps)
     if capture:
         caps["q_proj"] = caps["k_proj"] = caps["v_proj"] = h
-    q = quant_linear_apply(blk["q_proj"], h, fused=fused)
-    k = quant_linear_apply(blk["k_proj"], h, fused=fused)
-    v = quant_linear_apply(blk["v_proj"], h, fused=fused)
+    if "qkv_proj" in blk:
+        # serving-fused QKV (one kernel launch, larger N tile — see
+        # serving/optimize.fuse_for_serving)
+        qkv = quant_linear_apply(blk["qkv_proj"], h, fused=fused)
+        q = qkv[..., :q_dim]
+        k = qkv[..., q_dim : q_dim + kv_dim]
+        v = qkv[..., q_dim + kv_dim :]
+    else:
+        q = quant_linear_apply(blk["q_proj"], h, fused=fused)
+        k = quant_linear_apply(blk["k_proj"], h, fused=fused)
+        v = quant_linear_apply(blk["v_proj"], h, fused=fused)
     q = q.reshape(B, S, cfg.num_heads, cfg.head_dim)
     k = k.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
@@ -222,8 +232,13 @@ def block_apply(
     h = rms_norm(x, blk["post_norm"], cfg.rms_eps)
     if capture:
         caps["gate_proj"] = caps["up_proj"] = h
-    gate = quant_linear_apply(blk["gate_proj"], h, fused=fused)
-    up = quant_linear_apply(blk["up_proj"], h, fused=fused)
+    if "gateup_proj" in blk:
+        gu = quant_linear_apply(blk["gateup_proj"], h, fused=fused)
+        gate = gu[..., : cfg.intermediate_size]
+        up = gu[..., cfg.intermediate_size :]
+    else:
+        gate = quant_linear_apply(blk["gate_proj"], h, fused=fused)
+        up = quant_linear_apply(blk["up_proj"], h, fused=fused)
     act = jax.nn.silu(gate) * up
     if capture:
         caps["down_proj"] = act

@@ -48,3 +48,44 @@ def test_batched_generation_shapes():
     prompt = np.random.default_rng(2).integers(0, 256, (3, 6))
     out = generate(m, prompt, max_new_tokens=4, fused=False)
     assert out.shape == (3, 10)
+
+
+def test_fused_qkv_serving_consistency():
+    """fuse_for_serving must not change generation (packed and fp models)."""
+    from mi_optimize_tpu.serving import fuse_for_serving
+
+    m = Model.tiny_llama()
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(0, 256, (1, 8))
+    batches = [rng.integers(0, 256, (1, 32))]
+
+    # fp model
+    fm = fuse_for_serving(m)
+    assert "qkv_proj" in fm.params["layers"][0]
+    np.testing.assert_array_equal(
+        generate(m, prompt, max_new_tokens=6, fused=False),
+        generate(fm, prompt, max_new_tokens=6, fused=False),
+    )
+
+    # packed int4 model
+    qcfg = QuantConfig(algo="rtn", wbit="int4", w_qtype="per_group", w_groupsize=16)
+    qm = mt.quantize(m, qcfg, calib_data=batches)
+    fqm = fuse_for_serving(qm)
+    assert fqm.params["layers"][0]["qkv_proj"].packed is not None
+    np.testing.assert_array_equal(
+        generate(qm, prompt, max_new_tokens=6, fused=True),
+        generate(fqm, prompt, max_new_tokens=6, fused=True),
+    )
+
+
+def test_fusion_rejected_for_per_projection_smoothing():
+    from mi_optimize_tpu.serving import fuse_for_serving
+
+    m = Model.tiny_llama()
+    rng = np.random.default_rng(6)
+    batches = [rng.integers(0, 256, (1, 32))]
+    cfg = QuantConfig(algo="awq", wbit="int4", w_groupsize=16)
+    qm = mt.quantize(m, cfg, calib_data=batches)
+    fm = fuse_for_serving(qm)
+    # AWQ smooth factors differ per projection -> qkv must NOT fuse
+    assert "qkv_proj" not in fm.params["layers"][0]
