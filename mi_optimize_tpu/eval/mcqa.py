@@ -53,7 +53,7 @@ def _letter_ids(tokenizer):
 
 def _eval_bench(bench: str, model: Model, tokenizer, subject="all", num_shot=0,
                 split=None, fewshot_split=None, fused=True,
-                max_questions=None, max_len=None) -> Dict:
+                max_questions=None, max_len=None, model_type="llama") -> Dict:
     split = split or ("val" if bench == "ceval" else "test")
     fewshot_split = fewshot_split or split
     cfg = model.config
@@ -74,15 +74,26 @@ def _eval_bench(bench: str, model: Model, tokenizer, subject="all", num_shot=0,
         correct = 0
         for q, a in zip(questions, answers):
             prompt = (prefix + "\n\n" + q) if prefix else q
-            ids = encode_ids(tokenizer, prompt)[0][-max_len:]
-            L = len(ids)
-            B = _bucket(L, max_len)
-            padded = np.zeros((1, B), np.int64)
-            padded[0, :L] = ids
-            logits = _last_logits(model.params, cfg, jnp.asarray(padded),
-                                  jnp.asarray([L - 1]), fused)
-            scores = np.asarray(logits[0])[letters]
-            pred = "ABCD"[int(np.argmax(scores))]
+            if model_type == "chatglm":
+                # generation + regex CoT extraction (reference benchmark.py:88-90)
+                from ..serving import generate
+
+                ids = encode_ids(tokenizer, prompt)[:, -(max_len - 64):]
+                out = generate(model, ids, max_new_tokens=64, temperature=0.0,
+                               fused=fused, max_len=max_len)
+                resp = tokenizer.decode(out[0, ids.shape[1]:]).strip()
+                pred = D.extract_cot_answer(q, resp)
+            else:
+                # 1-token ABCD-logit argmax (reference benchmark.py:97-105)
+                ids = encode_ids(tokenizer, prompt)[0][-max_len:]
+                L = len(ids)
+                B = _bucket(L, max_len)
+                padded = np.zeros((1, B), np.int64)
+                padded[0, :L] = ids
+                logits = _last_logits(model.params, cfg, jnp.asarray(padded),
+                                      jnp.asarray([L - 1]), fused)
+                scores = np.asarray(logits[0])[letters]
+                pred = "ABCD"[int(np.argmax(scores))]
             correct += pred == a
         total = len(questions)
         per_subject[sub] = {"total": total, "correct": correct,
@@ -92,11 +103,17 @@ def _eval_bench(bench: str, model: Model, tokenizer, subject="all", num_shot=0,
     return D.aggregate_categories(bench, per_subject)
 
 
-def eval_ceval(model, tokenizer, subject="all", num_shot=0, split="val", **kw):
+def eval_ceval(model, tokenizer, subject="all", num_shot=0, split="val",
+               model_type="llama", **kw):
+    if model_type == "llama" and getattr(model, "family", "llama") == "chatglm":
+        model_type = "chatglm"
     return _eval_bench("ceval", model, tokenizer, subject=subject,
-                       num_shot=num_shot, split=split, **kw)
+                       num_shot=num_shot, split=split, model_type=model_type, **kw)
 
 
-def eval_cmmlu(model, tokenizer, subject="all", num_shot=0, split="test", **kw):
+def eval_cmmlu(model, tokenizer, subject="all", num_shot=0, split="test",
+               model_type="llama", **kw):
+    if model_type == "llama" and getattr(model, "family", "llama") == "chatglm":
+        model_type = "chatglm"
     return _eval_bench("cmmlu", model, tokenizer, subject=subject,
-                       num_shot=num_shot, split=split, **kw)
+                       num_shot=num_shot, split=split, model_type=model_type, **kw)
