@@ -128,3 +128,16 @@ def cache_pspec() -> P:
 
 def batch_pspec() -> P:
     return P("data", None)
+
+
+def shard_model(model, mesh: Mesh):
+    """Return the Model with its params device_put under the TP/DP rules.
+
+    The serving entry points (prefill / decode_loop / generate) work unchanged
+    on a sharded model: GSPMD propagates the NamedShardings through the jitted
+    programs and places collectives on the mesh.
+    """
+    from ..models.model import Model
+
+    return Model(config=model.config, params=shard_params(model.params, mesh),
+                 family=model.family)

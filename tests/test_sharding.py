@@ -94,3 +94,23 @@ def test_sharded_absmax_and_row_parallel():
     y = row_parallel_matmul(x, w, mesh)
     np.testing.assert_allclose(np.asarray(y), np.asarray(x) @ np.asarray(w).T,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_generation_matches_single_device():
+    """generate() on a TP+DP sharded packed model == unsharded output."""
+    import mi_optimize_tpu as mt
+    from mi_optimize_tpu.parallel import shard_model
+    from mi_optimize_tpu.serving import generate
+
+    m = Model.tiny_llama()
+    rng = np.random.default_rng(9)
+    batches = [rng.integers(0, 256, (1, 32))]
+    qcfg = QuantConfig(algo="rtn", wbit="int4", w_qtype="per_group", w_groupsize=16,
+                       pack=False)
+    qm = mt.quantize(m, qcfg, calib_data=batches)
+    mesh = make_mesh(n_model=2, n_data=1)
+    sm = shard_model(qm, mesh)
+    prompt = rng.integers(0, 256, (2, 8))
+    out_ref = generate(qm, prompt, max_new_tokens=6, fused=False)
+    out_sh = generate(sm, prompt, max_new_tokens=6, fused=False)
+    np.testing.assert_array_equal(out_ref, out_sh)
