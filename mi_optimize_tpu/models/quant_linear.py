@@ -125,9 +125,19 @@ def quant_linear_apply(q: QuantizedLinear, x: jnp.ndarray, *, fused: bool = True
     in_dtype = x.dtype
     if q.smooth_factor is not None:
         x = x / q.smooth_factor.astype(x.dtype)
-    x = _quant_activations(q, x)
 
     s = q.spec
+    if q.packed is not None and fused:
+        from ..ops.int8_matmul import supports_native_int8, w8a8_matmul
+        if supports_native_int8(s):
+            # W8A8: integers stay integer through the MXU (int8xint8->int32) —
+            # faster AND exact vs the reference's dequant+fp-GEMM fake path
+            y = w8a8_matmul(x, q)
+            if q.bias is not None:
+                y = y + q.bias
+            return y.astype(in_dtype)
+
+    x = _quant_activations(q, x)
     if q.packed is not None and fused and s.wbit in (4, 8):
         from ..ops.dequant_matmul import dequant_matmul  # lazy: pallas import
         y = dequant_matmul(x, q)

@@ -56,3 +56,42 @@ def test_fused_odd_batch_padding(rng):
 def test_dequant_weight_roundtrip(rng):
     qlin, fake_w = make_packed_linear(rng, 64, 128, 4, "per_group", 32)
     np.testing.assert_allclose(np.asarray(dequant_weight(qlin)), fake_w, rtol=1e-5, atol=1e-6)
+
+
+def test_native_w8a8_matches_fake_path(rng):
+    """int8x int8 MXU path ≈ fake-quant path (int32 accumulation is exact;
+    fp accumulation differs at ~1e-6 relative)."""
+    import mi_optimize_tpu as mt
+    from mi_optimize_tpu.models.model import Model
+    from mi_optimize_tpu.quant.config import QuantConfig
+    from mi_optimize_tpu.ops.int8_matmul import supports_native_int8
+
+    m = Model.tiny_llama()
+    batches = [rng.integers(0, 256, (1, 32)).astype(np.int64)]
+    cfg = QuantConfig(algo="smoothquant", wbit="int8", abit="int8",
+                      w_qtype="per_channel", a_qtype="per_token", pack=True)
+    qm = mt.quantize(m, cfg, calib_data=batches)
+    lin = qm.params["layers"][0]["q_proj"]
+    assert supports_native_int8(lin.spec)
+    x = jnp.asarray(rng.normal(size=(1, 4, lin.in_features)).astype(np.float32))
+    y_fake = np.asarray(quant_linear_apply(lin, x, fused=False))
+    y_int8 = np.asarray(quant_linear_apply(lin, x, fused=True))
+    np.testing.assert_allclose(y_int8, y_fake, rtol=1e-4, atol=1e-4)
+
+
+def test_native_w8a8_generation_consistency(rng):
+    import mi_optimize_tpu as mt
+    from mi_optimize_tpu.models.model import Model
+    from mi_optimize_tpu.quant.config import QuantConfig
+    from mi_optimize_tpu.serving import generate
+
+    m = Model.tiny_llama()
+    batches = [rng.integers(0, 256, (1, 32)).astype(np.int64)]
+    cfg = QuantConfig(algo="smoothquant", wbit="int8", abit="int8",
+                      w_qtype="per_channel", a_qtype="per_token", pack=True)
+    qm = mt.quantize(m, cfg, calib_data=batches)
+    prompt = rng.integers(0, 256, (1, 8))
+    out_fake = generate(qm, prompt, max_new_tokens=6, fused=False)
+    out_int8 = generate(qm, prompt, max_new_tokens=6, fused=True)
+    # logits differ at float-accumulation noise level; greedy tokens must agree
+    np.testing.assert_array_equal(out_fake, out_int8)
