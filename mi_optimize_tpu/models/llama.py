@@ -213,7 +213,23 @@ def block_apply(
     q = apply_rope(q, cos, sin, cfg)
     k = apply_rope(k, cos, sin, cfg)
 
-    if kv_cache is not None:
+    if isinstance(kv_cache, dict):
+        # int8-quantized KV cache: values stored int8 with per-(token, head)
+        # absmax scales — 2x less HBM traffic per decode step than bf16.
+        # (KV-cache quantization is new scope beyond the reference; cf. the
+        # int8/int4 KV-cache literature in PAPERS.md.)
+        kq, ks = quantize_kv(k)
+        vq, vs = quantize_kv(v)
+        kv_cache = {
+            "k": jax.lax.dynamic_update_slice(kv_cache["k"], kq, (0, cache_index, 0, 0)),
+            "v": jax.lax.dynamic_update_slice(kv_cache["v"], vq, (0, cache_index, 0, 0)),
+            "k_scale": jax.lax.dynamic_update_slice(kv_cache["k_scale"], ks, (0, cache_index, 0)),
+            "v_scale": jax.lax.dynamic_update_slice(kv_cache["v_scale"], vs, (0, cache_index, 0)),
+        }
+        k_all = (kv_cache["k"].astype(jnp.float32) * kv_cache["k_scale"][..., None]).astype(q.dtype)
+        v_all = (kv_cache["v"].astype(jnp.float32) * kv_cache["v_scale"][..., None]).astype(q.dtype)
+        new_cache = kv_cache
+    elif kv_cache is not None:
         ck, cv = kv_cache
         ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
         cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
@@ -244,6 +260,15 @@ def block_apply(
         caps["down_proj"] = act
     x = x + quant_linear_apply(blk["down_proj"], act, fused=fused)
     return x, new_cache, caps
+
+
+def quantize_kv(x: jnp.ndarray):
+    """Per-(batch, token, head) symmetric int8 quantization of a K/V slab
+    [B, S, H, D] -> (int8 values, f32 scales [B, S, H])."""
+    amax = jnp.clip(jnp.abs(x.astype(jnp.float32)).max(axis=-1), 1e-8, None)
+    scale = amax / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127)
+    return q.astype(jnp.int8), scale
 
 
 def causal_mask(seq_len: int) -> jnp.ndarray:

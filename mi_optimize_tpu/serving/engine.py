@@ -20,12 +20,31 @@ from ..models import llama
 from ..models.model import Model
 
 
+def _cache_len(cache) -> int:
+    c0 = cache[0]
+    return (c0["k"] if isinstance(c0, dict) else c0[0]).shape[1]
+
+
 def init_cache(cfg, batch: int, max_len: int, dtype=jnp.bfloat16):
+    """KV cache, one entry per layer.
+
+    dtype jnp.int8 selects the quantized cache (int8 values + per-token/head
+    f32 scales — half the HBM traffic of bf16); any float dtype gives the
+    plain cache.
+    """
+    shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    if dtype == jnp.int8:
+        return [
+            {
+                "k": jnp.zeros(shape, jnp.int8),
+                "v": jnp.zeros(shape, jnp.int8),
+                "k_scale": jnp.zeros(shape[:3], jnp.float32),
+                "v_scale": jnp.zeros(shape[:3], jnp.float32),
+            }
+            for _ in range(cfg.num_layers)
+        ]
     return [
-        (
-            jnp.zeros((batch, max_len, cfg.num_kv_heads, cfg.head_dim), dtype),
-            jnp.zeros((batch, max_len, cfg.num_kv_heads, cfg.head_dim), dtype),
-        )
+        (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
         for _ in range(cfg.num_layers)
     ]
 
@@ -34,7 +53,7 @@ def init_cache(cfg, batch: int, max_len: int, dtype=jnp.bfloat16):
 def prefill(params, cfg, input_ids, cache, fused=True):
     """Process the prompt; returns (last-token logits [B,V], filled cache)."""
     B, S = input_ids.shape
-    max_len = cache[0][0].shape[1]
+    max_len = _cache_len(cache)
     x = llama.embed(params, input_ids)
     cos, sin = llama.rope_tables(cfg, jnp.arange(S))
     mask = jnp.arange(max_len)[None, :] <= jnp.arange(S)[:, None]  # [S, T]
@@ -51,7 +70,7 @@ def prefill(params, cfg, input_ids, cache, fused=True):
 
 def _decode_core(params, cfg, token, cache, pos, fused=True):
     """One autoregressive step. token [B,1], pos scalar; returns (logits, cache)."""
-    max_len = cache[0][0].shape[1]
+    max_len = _cache_len(cache)
     x = llama.embed(params, token)
     cos, sin = llama.rope_tables(cfg, pos[None])
     mask = (jnp.arange(max_len)[None, :] <= pos)[None, :]  # [1, T] -> bcast [S=1,T]

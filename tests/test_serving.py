@@ -89,3 +89,30 @@ def test_fusion_rejected_for_per_projection_smoothing():
     fm = fuse_for_serving(qm)
     # AWQ smooth factors differ per projection -> qkv must NOT fuse
     assert "qkv_proj" not in fm.params["layers"][0]
+
+
+def test_int8_kv_cache_close_to_fp():
+    """Quantized KV cache: logits within int8 rounding noise of the fp cache."""
+    import jax.numpy as jnp
+
+    from mi_optimize_tpu.serving import decode_step, init_cache, prefill
+
+    m = Model.tiny_llama()
+    cfg = m.config
+    rng = np.random.default_rng(8)
+    ids = jnp.asarray(rng.integers(0, 256, (1, 12)))
+
+    out = {}
+    for name, dtype in [("fp", jnp.float32), ("int8", jnp.int8)]:
+        cache = init_cache(cfg, 1, 24, dtype)
+        logits, cache = prefill(m.params, cfg, ids, cache, False)
+        tok = jnp.argmax(logits, -1)[:, None]
+        logits2, _ = decode_step(m.params, cfg, tok, cache, jnp.asarray(12), False)
+        out[name] = np.asarray(logits2[0])
+    err = np.abs(out["fp"] - out["int8"]).max()
+    scale = np.abs(out["fp"]).max()
+    assert err / scale < 0.05
+    # and full generation runs end-to-end with the quantized cache
+    toks = generate(m, np.asarray(ids), max_new_tokens=4, fused=False,
+                    cache_dtype=jnp.int8)
+    assert toks.shape == (1, 16)
