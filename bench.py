@@ -94,7 +94,7 @@ def main():
 
     batch = 1
     total = prompt_len + n_decode + 4
-    cache = init_cache(cfg, batch, total, jnp.bfloat16)
+    cache = init_cache(cfg, batch, total, jnp.int8)  # quantized KV cache
     key = jax.random.PRNGKey(1)
     ids = jax.random.randint(key, (batch, prompt_len), 0, cfg.vocab_size)
 
