@@ -156,7 +156,11 @@ def apply_rope(x, cos, sin, cfg: LlamaConfig):
 
 
 def attention(q, k, v, mask, cfg: LlamaConfig):
-    """q:[B,S,Hq,D] k,v:[B,T,Hkv,D]; GQA by head repetition; mask [S,T] bool."""
+    """q:[B,S,Hq,D] k,v:[B,T,Hkv,D]; GQA by head repetition.
+
+    mask: bool, [S,T] (shared) or [B,1,S,T] / [B,1,1,T] (per-slot positions in
+    the continuous-batching decode path) — broadcast against scores [B,H,S,T].
+    """
     reps = cfg.num_heads // cfg.num_kv_heads
     if reps > 1:
         k = jnp.repeat(k, reps, axis=2)
@@ -213,6 +217,19 @@ def block_apply(
     q = apply_rope(q, cos, sin, cfg)
     k = apply_rope(k, cos, sin, cfg)
 
+    def _upd(buf, new, idx):
+        """Write `new` [B,S,...] into `buf` at time index `idx` (scalar: one
+        dynamic_update_slice; vector [B]: per-slot positions via vmap —
+        the continuous-batching path)."""
+        idx = jnp.asarray(idx)
+        if idx.ndim == 0:
+            start = (0, idx) + (0,) * (buf.ndim - 2)
+            return jax.lax.dynamic_update_slice(buf, new.astype(buf.dtype), start)
+        def one(b, n, i):
+            st = (i,) + (0,) * (b.ndim - 1)
+            return jax.lax.dynamic_update_slice(b, n.astype(b.dtype), st)
+        return jax.vmap(one)(buf, new.astype(buf.dtype), idx)
+
     if isinstance(kv_cache, dict):
         # int8-quantized KV cache: values stored int8 with per-(token, head)
         # absmax scales — 2x less HBM traffic per decode step than bf16.
@@ -221,18 +238,18 @@ def block_apply(
         kq, ks = quantize_kv(k)
         vq, vs = quantize_kv(v)
         kv_cache = {
-            "k": jax.lax.dynamic_update_slice(kv_cache["k"], kq, (0, cache_index, 0, 0)),
-            "v": jax.lax.dynamic_update_slice(kv_cache["v"], vq, (0, cache_index, 0, 0)),
-            "k_scale": jax.lax.dynamic_update_slice(kv_cache["k_scale"], ks, (0, cache_index, 0)),
-            "v_scale": jax.lax.dynamic_update_slice(kv_cache["v_scale"], vs, (0, cache_index, 0)),
+            "k": _upd(kv_cache["k"], kq, cache_index),
+            "v": _upd(kv_cache["v"], vq, cache_index),
+            "k_scale": _upd(kv_cache["k_scale"], ks, cache_index),
+            "v_scale": _upd(kv_cache["v_scale"], vs, cache_index),
         }
         k_all = (kv_cache["k"].astype(jnp.float32) * kv_cache["k_scale"][..., None]).astype(q.dtype)
         v_all = (kv_cache["v"].astype(jnp.float32) * kv_cache["v_scale"][..., None]).astype(q.dtype)
         new_cache = kv_cache
     elif kv_cache is not None:
         ck, cv = kv_cache
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+        ck = _upd(ck, k, cache_index)
+        cv = _upd(cv, v, cache_index)
         k_all, v_all = ck, cv
         new_cache = (ck, cv)
     else:

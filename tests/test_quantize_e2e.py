@@ -122,3 +122,26 @@ def test_config_from_reference_style_dict():
 def test_unknown_config_key_rejected():
     with pytest.raises(ValueError):
         QuantConfig.from_dict({"algo": "rtn", "not_a_key": 1})
+
+
+def test_quantize_with_config_driven_calibration():
+    """Full reference-style entry: calib data built from quant_config.calibrate
+    via the datasets layer (quantize(model, tokenizer, quant_config) parity)."""
+    from mi_optimize_tpu.datasets.calibration import find_data_path
+    from mi_optimize_tpu.datasets.tokenizer import ByteTokenizer
+
+    if find_data_path("wikitext") is None:
+        pytest.skip("no wikitext data")
+    m = Model.tiny_llama(vocab_size=300)
+    cfg = QuantConfig.from_dict({
+        "quant_config": {
+            "algo": "gptq",
+            "kwargs": {"wbit": "int4", "w_groupsize": 16, "blocksize": 32,
+                       "w_has_zero": True},
+            "calibrate_config": {"name": "wikitext2", "split": "train",
+                                 "nsamples": 2, "seqlen": 64},
+        }
+    })
+    qm = mt.quantize(m, cfg, tokenizer=ByteTokenizer())
+    batches = [np.random.default_rng(0).integers(0, 300, (1, 32))]
+    assert np.isfinite(compute_ppl(qm, batches, fused=False))

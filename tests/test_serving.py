@@ -116,3 +116,39 @@ def test_int8_kv_cache_close_to_fp():
     toks = generate(m, np.asarray(ids), max_new_tokens=4, fused=False,
                     cache_dtype=jnp.int8)
     assert toks.shape == (1, 16)
+
+
+def test_continuous_batching_matches_generate():
+    """Slot scheduler output == per-request greedy generate (different lengths,
+    late-joining request)."""
+    from mi_optimize_tpu.serving.batching import ContinuousBatcher
+
+    m = Model.tiny_llama()
+    rng = np.random.default_rng(11)
+    p1 = rng.integers(0, 256, (7,))
+    p2 = rng.integers(0, 256, (13,))
+    p3 = rng.integers(0, 256, (5,))
+
+    ref = {}
+    for i, p in enumerate([p1, p2, p3]):
+        out = generate(m, p[None, :], max_new_tokens=6, fused=False)
+        ref[i] = list(out[0, len(p):])
+
+    b = ContinuousBatcher(m, n_slots=2, max_len=64, fused=False)
+    r1 = b.add_request(p1, max_new_tokens=6)
+    r2 = b.add_request(p2, max_new_tokens=6)
+    assert b.add_request(p3) is None  # full
+    got = {r1: list(b.slot_req[0].tokens), r2: list(b.slot_req[1].tokens)}
+    reqs = {r1: b.slot_req[0], r2: b.slot_req[1]}
+    r3 = None
+    req3 = None
+    for _ in range(30):
+        b.step()
+        if r3 is None and None in b.slot_req:
+            r3 = b.add_request(p3, max_new_tokens=6)  # joins mid-flight
+            req3 = [r for r in b.slot_req if r and r.rid == r3][0]
+        if all(s is None for s in b.slot_req):
+            break
+    assert reqs[r1].tokens == ref[0]
+    assert reqs[r2].tokens == ref[1]
+    assert req3 is not None and req3.tokens == ref[2]
