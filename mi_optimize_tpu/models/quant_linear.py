@@ -44,6 +44,7 @@ class QuantSpec:
     a_dynamic: bool = True              # dynamic vs static activation quant
     w_packed: bool = False              # weights stored packed-int vs fake-quant fp
     fp8_format: Optional[str] = None    # 'e4m3' | 'e5m2' (FP8 algorithm)
+    quant_out: bool = False             # SmoothQuant quant_out: fake-quant y too
 
 
 def _pytree(*names):
@@ -151,4 +152,10 @@ def quant_linear_apply(q: QuantizedLinear, x: jnp.ndarray, *, fused: bool = True
         )
     if q.bias is not None:
         y = y + q.bias
+    if s.quant_out and s.abit is not None:
+        # SmoothQuant's optional output quantization (SmoothQuantizer.py:158-160)
+        dq, _, _ = qparams.quantize_dequantize(
+            y, s.abit, s.a_qtype, s.a_groupsize, s.a_symmetric, s.a_unsigned
+        )
+        y = dq
     return y.astype(in_dtype)

@@ -36,6 +36,7 @@ def supports_native_int8(spec) -> bool:
         and not spec.a_unsigned
         and spec.a_qtype in ("per_token", "per_tensor")
         and spec.fp8_format is None
+        and not spec.quant_out
     )
 
 

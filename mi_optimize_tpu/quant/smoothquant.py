@@ -65,5 +65,6 @@ class SmoothQuantAlgo(BaseAlgo):
             a_symmetric=True,
             a_unsigned=False,
             a_dynamic=True,
+            quant_out=cfg.quant_out,
         )
         return out.replace(spec=spec)
