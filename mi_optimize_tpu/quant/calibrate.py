@@ -111,6 +111,7 @@ def sequential_quantize(
     *,
     progress: bool = True,
     journal=None,
+    offload_host: bool = True,
 ) -> Dict[str, Any]:
     """Quantize all transformer blocks layer-sequentially; returns new params.
 
@@ -118,13 +119,18 @@ def sequential_quantize(
     completed blocks and the current ping-pong activations are persisted and
     skipped on restart — the mid-run crash-resumability the reference lacks
     (SURVEY.md §5.4).
+
+    `offload_host=False` keeps quantized blocks and activations on device —
+    use when the whole model fits HBM and host<->device transfers are slow.
     """
     seqlen = calib_batches[0].shape[-1]
     cos, sin = llama.rope_tables(cfg, jnp.arange(seqlen))
     mask = llama.causal_mask(seqlen)
 
     embed_fn = jax.jit(lambda ids: llama.embed(params, ids))
-    xs = [np.asarray(embed_fn(jnp.asarray(b))) for b in calib_batches]
+    def _off(a):
+        return np.asarray(a) if offload_host else a
+    xs = [_off(embed_fn(jnp.asarray(b))) for b in calib_batches]
 
     kinds = tuple(dict.fromkeys(tuple(algo.stats) + tuple(algo.act_stats())))
     new_layers = []
@@ -143,7 +149,7 @@ def sequential_quantize(
         blk = {k: jax.device_put(v) for k, v in fp_blk.items()}
         if not quant_cfg.block_sequential:
             # fp propagation: next-block inputs from the unquantized block
-            fp_outs = [np.asarray(_block_forward(blk, jnp.asarray(x), cos, sin, mask, cfg))
+            fp_outs = [_off(_block_forward(blk, jnp.asarray(x), cos, sin, mask, cfg))
                        for x in xs]
 
         for group in GROUP_ORDER:
@@ -158,12 +164,12 @@ def sequential_quantize(
             del stats
 
         if quant_cfg.block_sequential:
-            outs = [np.asarray(_block_forward(blk, jnp.asarray(x), cos, sin, mask, cfg))
+            outs = [_off(_block_forward(blk, jnp.asarray(x), cos, sin, mask, cfg))
                     for x in xs]
         else:
             outs = fp_outs
         xs = outs  # ping-pong (llama_seq.py:155-158)
-        new_layers.append(jax.device_get(blk))
+        new_layers.append(jax.device_get(blk) if offload_host else blk)
         if journal is not None:
             journal.save_block(i, new_layers[-1], xs=xs)
         if progress:
