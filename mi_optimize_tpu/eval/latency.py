@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.model import Model
-from ..serving import decode_step, init_cache, prefill
+from ..serving import decode_loop, init_cache, prefill
 
 # v5e HBM bandwidth (bytes/s), public spec: ~819 GB/s
 HBM_BYTES_PER_S = {"TPU v5 lite": 819e9, "cpu": 50e9}
@@ -69,16 +69,14 @@ def decode_throughput(model: Model, batch=1, prompt_len=128, decode_tokens=64,
                                                         (batch, prompt_len)))
     logits, cache = prefill(model.params, cfg, ids, cache, fused)
     tok = jnp.argmax(logits, -1)[:, None]
-    # warmup decode steps (compile + cache population)
-    for i in range(warmup):
-        logits, cache = decode_step(model.params, cfg, tok, cache,
-                                    jnp.asarray(prompt_len + i), fused)
-    logits.block_until_ready()
+    pos0 = jnp.asarray(prompt_len)
+    # warm/compile, then time one on-device decode loop (scalar pull forces
+    # completion — block_until_ready is unreliable on tunneled runtimes)
+    toks, _ = decode_loop(model.params, cfg, tok, cache, pos0, decode_tokens, fused)
+    _ = int(toks[0, -1])
     t0 = time.perf_counter()
-    for i in range(decode_tokens):
-        logits, cache = decode_step(model.params, cfg, tok, cache,
-                                    jnp.asarray(prompt_len + warmup + i), fused)
-    logits.block_until_ready()
+    toks, _ = decode_loop(model.params, cfg, tok, cache, pos0, decode_tokens, fused)
+    _ = int(toks[0, -1])
     dt = time.perf_counter() - t0
     toks_per_s = decode_tokens * batch / dt
     step_s = dt / decode_tokens

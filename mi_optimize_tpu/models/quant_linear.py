@@ -47,10 +47,6 @@ class QuantSpec:
     quant_out: bool = False             # SmoothQuant quant_out: fake-quant y too
 
 
-def _pytree(*names):
-    return {n: None for n in names}
-
-
 @struct.dataclass
 class QuantizedLinear:
     """Parameters of one (possibly quantized) linear: y = x W^T + b."""
