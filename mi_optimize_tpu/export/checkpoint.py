@@ -24,7 +24,7 @@ from ..models.model import Model
 from ..models.quant_linear import QuantSpec, QuantizedLinear
 
 _ARRAY_FIELDS = ("weight", "packed", "w_scale", "w_zero", "bias", "smooth_factor",
-                 "a_scale", "a_zero")
+                 "a_scale", "a_zero", "perm")
 
 
 def _lin_manifest(lin: QuantizedLinear) -> Dict[str, Any]:

@@ -62,6 +62,9 @@ class QuantizedLinear:
     smooth_factor: Optional[jax.Array] = None  # [in]; x /= smooth at runtime
     a_scale: Optional[jax.Array] = None        # static activation qparams
     a_zero: Optional[jax.Array] = None
+    # GPTQ act-order: weights/scales stored in permuted in-feature order; the
+    # runtime gathers x columns by `perm` (g_idx-free grouped act-order packing)
+    perm: Optional[jax.Array] = None
 
     @classmethod
     def fp(cls, weight, bias=None):
@@ -89,10 +92,14 @@ def dequant_weight(q: QuantizedLinear) -> jnp.ndarray:
     if s.w_qtype == "per_group" and s.w_groupsize > 0:
         wg = w_int.reshape(-1, s.w_groupsize)
         w = (wg - q.w_zero.reshape(-1, 1)) * q.w_scale.reshape(-1, 1)
-        return w.reshape(q.out_features, q.in_features)
-    if s.w_qtype == "per_channel":
-        return (w_int - q.w_zero.reshape(-1, 1)) * q.w_scale.reshape(-1, 1)
-    return (w_int - jnp.reshape(q.w_zero, ())) * jnp.reshape(q.w_scale, ())
+        w = w.reshape(q.out_features, q.in_features)
+    elif s.w_qtype == "per_channel":
+        w = (w_int - q.w_zero.reshape(-1, 1)) * q.w_scale.reshape(-1, 1)
+    else:
+        w = (w_int - jnp.reshape(q.w_zero, ())) * jnp.reshape(q.w_scale, ())
+    if q.perm is not None:
+        w = w[:, jnp.argsort(q.perm)]  # back to natural in-feature order
+    return w
 
 
 def _quant_activations(q: QuantizedLinear, x: jnp.ndarray) -> jnp.ndarray:
@@ -124,6 +131,10 @@ def quant_linear_apply(q: QuantizedLinear, x: jnp.ndarray, *, fused: bool = True
         x = x / q.smooth_factor.astype(x.dtype)
 
     s = q.spec
+    if q.perm is not None and q.packed is not None and fused:
+        # act-order packed path: gather x into the permuted domain once (cheap
+        # for decode) so the packed weights' contiguous groups line up
+        x = jnp.take(x, q.perm, axis=-1)
     if q.packed is not None and fused:
         from ..ops.int8_matmul import supports_native_int8, w8a8_matmul
         if supports_native_int8(s):

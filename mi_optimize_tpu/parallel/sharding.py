@@ -83,6 +83,7 @@ def _linear_pspecs(kind: str, lin: QuantizedLinear) -> QuantizedLinear:
         smooth_factor=keep(lin.smooth_factor, smooth),
         a_scale=keep(lin.a_scale, P()),
         a_zero=keep(lin.a_zero, P()),
+        perm=keep(lin.perm, P()),
     )
 
 

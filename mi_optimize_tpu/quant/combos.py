@@ -28,7 +28,7 @@ from .base import finalize_hessian
 def _gptq_on(cfg, lin, W_smoothed, stats, smooth):
     H = finalize_hessian(stats)
     groupsize = cfg.w_groupsize
-    Q, scales, zeros = gptq_quantize_matrix(
+    Q, scales, zeros, perm = gptq_quantize_matrix(
         W_smoothed, H,
         bits=cfg.wbit.bits,
         blocksize=min(cfg.blocksize, lin.in_features),
@@ -38,6 +38,13 @@ def _gptq_on(cfg, lin, W_smoothed, stats, smooth):
         percdamp=cfg.percdamp,
     )
     w_qtype = "per_group" if groupsize > 0 else "per_channel"
+    if groupsize > 0 and cfg.actorder and cfg.pack:
+        out = build_quantized_linear(
+            lin, cfg, Q[:, perm], scales, zeros, w_qtype=w_qtype,
+            smooth_factor=smooth,
+        )
+        if out.packed is not None:
+            return out.replace(perm=perm)
     pack_ok = groupsize <= 0 or not cfg.actorder
     return build_quantized_linear(
         lin, cfg, Q, scales, zeros, w_qtype=w_qtype, pack_ok=pack_ok,

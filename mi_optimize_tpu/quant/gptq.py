@@ -22,9 +22,11 @@ lax.fori_loop of masked rank-1 updates (the mask col>=i makes column i land
 exactly on its quantized value, so Q needs no separate buffer); inter-block
 updates are dense MXU matmuls; everything is one jitted function per shape.
 
-Packing caveat: with actorder+per_group the scales live in permuted column
-order (the reference has the same inconsistency at export); we keep fake-quant
-weights in that case and pack only per_channel or actorder=False runs.
+Act-order packing: with actorder+per_group the scales live in permuted column
+order; we pack the PERMUTED weight matrix and store the permutation on the
+QuantizedLinear — the runtime gathers x into the permuted domain (the
+reference simply cannot export this configuration, export/utils.py:8-22, so
+our packed serving path is a strict superset).
 """
 from __future__ import annotations
 
@@ -177,11 +179,12 @@ def gptq_quantize_matrix(
         scales_all = jnp.moveaxis(gs_all, 0, 1).reshape(out_f, -1)
         zeros_all = jnp.moveaxis(gz_all, 0, 1).reshape(out_f, -1)
 
+    perm_out = perm if actorder else None
     if actorder:
         invperm = jnp.argsort(perm)
         Q = Q[:, invperm]
 
-    return Q, scales_all, zeros_all
+    return Q, scales_all, zeros_all, perm_out
 
 
 @register_algo("gptq")
@@ -195,7 +198,7 @@ class GPTQAlgo(BaseAlgo):
         H = finalize_hessian(stats)
         W = lin.weight.astype(jnp.float32)
         groupsize = cfg.w_groupsize
-        Q, scales, zeros = gptq_quantize_matrix(
+        Q, scales, zeros, perm = gptq_quantize_matrix(
             W, H,
             bits=cfg.wbit.bits,
             blocksize=min(cfg.blocksize, lin.in_features),
@@ -205,9 +208,19 @@ class GPTQAlgo(BaseAlgo):
             percdamp=cfg.percdamp,
         )
         w_qtype = "per_group" if groupsize > 0 else "per_channel"
-        # scales in permuted order cannot be re-associated with contiguous
-        # groups — keep fake-quant weights then (same limitation as the
-        # reference's export); pack otherwise.
+        if groupsize > 0 and cfg.actorder and cfg.pack:
+            # grouped act-order: scales live in permuted column order, so pack
+            # the PERMUTED weight and store `perm` — the runtime gathers x into
+            # the permuted domain (the reference simply cannot export this
+            # configuration, export/utils.py:8-22)
+            out = build_quantized_linear(
+                lin, cfg, Q[:, perm], scales, zeros, w_qtype=w_qtype,
+            )
+            if out.packed is not None:
+                return out.replace(perm=perm)
+            return build_quantized_linear(
+                lin, cfg, Q, scales, zeros, w_qtype=w_qtype, pack_ok=False
+            )
         pack_ok = groupsize <= 0 or not cfg.actorder
         return build_quantized_linear(
             lin, cfg, Q, scales, zeros, w_qtype=w_qtype, pack_ok=pack_ok

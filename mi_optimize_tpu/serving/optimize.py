@@ -43,6 +43,8 @@ def _can_fuse(lins) -> bool:
             return False
     if any(l.a_scale is not None for l in lins):
         return False  # static act qparams are per-projection
+    if any(l.perm is not None for l in lins):
+        return False  # act-order permutations are per-projection
     biases = [l.bias is not None for l in lins]
     if len(set(biases)) != 1:
         return False

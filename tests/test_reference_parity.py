@@ -146,7 +146,7 @@ def test_gptq_parity(ref):
                                    blocksize=16, w_groupsize=-1, actorder=True)
     gptq.quantize()
     ref_fake = gptq.fake_w.numpy()
-    Q, scales, zeros = gptq_quantize_matrix(
+    Q, scales, zeros, _perm = gptq_quantize_matrix(
         jnp.asarray(W), jnp.asarray(H.numpy()),
         bits=4, blocksize=16, groupsize=-1, actorder=True,
         symmetric=False, percdamp=0.01,
@@ -176,7 +176,7 @@ def test_gptq_grouped_parity(ref):
     gptq = ref.LinearGPTQQuantizer(hub, wbit=Precision.INT4, device="cpu", offload="cpu",
                                    blocksize=16, w_groupsize=16, actorder=False)
     gptq.quantize()
-    Q, scales, zeros = gptq_quantize_matrix(
+    Q, scales, zeros, _perm = gptq_quantize_matrix(
         jnp.asarray(W), jnp.asarray(H.numpy()),
         bits=4, blocksize=16, groupsize=16, actorder=False,
         symmetric=False, percdamp=0.01,
