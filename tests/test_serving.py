@@ -152,3 +152,32 @@ def test_continuous_batching_matches_generate():
     assert reqs[r1].tokens == ref[0]
     assert reqs[r2].tokens == ref[1]
     assert req3 is not None and req3.tokens == ref[2]
+
+
+def test_speculative_decoding_exact_and_saves_calls():
+    """Greedy spec-dec must emit exactly the target's greedy sequence; with the
+    target itself as draft, acceptance is 100% and target calls collapse to
+    ~new/(k+1)."""
+    from mi_optimize_tpu.serving.speculative import speculative_generate
+
+    m = Model.tiny_llama()
+    rng = np.random.default_rng(12)
+    prompt = rng.integers(0, 256, (1, 8))
+    ref = generate(m, prompt, max_new_tokens=12, fused=False)
+
+    out, stats = speculative_generate(m, m, prompt, max_new_tokens=12, k=4,
+                                      fused=False)
+    np.testing.assert_array_equal(out, ref)
+    assert stats["accept_rate"] == 1.0
+    assert stats["target_calls"] <= 12 // 4 + 1
+
+    # int3-RTN draft of the same model: still exact, acceptance high
+    import mi_optimize_tpu as mt
+
+    draft = mt.quantize(m, QuantConfig(algo="rtn", wbit="int8",
+                                       w_qtype="per_channel", pack=False),
+                        calib_data=[prompt])
+    out2, stats2 = speculative_generate(m, draft, prompt, max_new_tokens=12,
+                                        k=4, fused=False)
+    np.testing.assert_array_equal(out2, ref)
+    assert 0.0 <= stats2["accept_rate"] <= 1.0
