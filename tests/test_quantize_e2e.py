@@ -163,3 +163,33 @@ def test_gptq_actorder_grouped_packs_with_perm(fp_setup):
     # the residual PPL delta is f32 reduction-order noise from the permuted
     # summation order
     assert abs(ppl_packed - ppl_fake) / ppl_fake < 5e-3
+
+
+def test_block_sequential_propagation(fp_setup):
+    """block_sequential=True feeds quantized block outputs forward
+    (llama_seq.py:155-158 ping-pong) — different stats, still-sane PPL."""
+    m, batches, fp_ppl = fp_setup
+    kw = dict(algo="gptq", wbit="int4", w_qtype="per_group", w_groupsize=16,
+              blocksize=32, w_has_zero=True)
+    ppl_bs, qm_bs = quant_ppl(m, batches, **kw, block_sequential=True)
+    ppl_fp, qm_fp = quant_ppl(m, batches, **kw, block_sequential=False)
+    assert np.isfinite(ppl_bs) and ppl_bs < fp_ppl * 3
+    # the two propagation modes must actually differ (different calibration)
+    w1 = np.asarray(qm_bs.params["layers"][1]["q_proj"].packed)
+    w2 = np.asarray(qm_fp.params["layers"][1]["q_proj"].packed)
+    assert not np.array_equal(w1, w2)
+    # ...but block 0 sees identical inputs either way
+    b1 = np.asarray(qm_bs.params["layers"][0]["q_proj"].packed)
+    b2 = np.asarray(qm_fp.params["layers"][0]["q_proj"].packed)
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_generic_driver_matches_shapes(fp_setup):
+    """layer_sequential=False (quant_other_model parity) quantizes everything."""
+    m, batches, fp_ppl = fp_setup
+    ppl, qm = quant_ppl(m, batches, algo="gptq", wbit="int4", blocksize=32,
+                        w_has_zero=True, layer_sequential=False)
+    assert np.isfinite(ppl) and ppl < fp_ppl * 3
+    for blk in qm.params["layers"]:
+        for name in ("q_proj", "down_proj"):
+            assert blk[name].packed is not None or blk[name].weight is not None
