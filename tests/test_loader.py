@@ -103,3 +103,49 @@ def test_chatglm_loader(tmp_path):
     qm = mt.quantize(m, QuantConfig(algo="rtn", wbit="int4", w_qtype="per_group",
                                     w_groupsize=8), calib_data=[ids])
     assert qm.params["layers"][0]["q_proj"].packed is not None
+
+
+def test_baichuan_wpack_loader(tmp_path):
+    """W_pack checkpoints split into q/k/v and quantize end-to-end."""
+    import jax.numpy as jnp
+    from safetensors.numpy import save_file
+
+    from mi_optimize_tpu.models import llama
+
+    hidden, heads, vocab, layers, inter = 32, 4, 64, 2, 48
+    cfg = {
+        "model_type": "baichuan", "vocab_size": vocab, "hidden_size": hidden,
+        "intermediate_size": inter, "num_hidden_layers": layers,
+        "num_attention_heads": heads, "max_position_embeddings": 128,
+    }
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+    rng = np.random.default_rng(0)
+    t = {
+        "model.embed_tokens.weight": rng.normal(size=(vocab, hidden)).astype(np.float32),
+        "model.norm.weight": np.ones(hidden, np.float32),
+        "lm_head.weight": rng.normal(size=(vocab, hidden)).astype(np.float32),
+    }
+    for i in range(layers):
+        p = f"model.layers.{i}"
+        t[f"{p}.input_layernorm.weight"] = np.ones(hidden, np.float32)
+        t[f"{p}.post_attention_layernorm.weight"] = np.ones(hidden, np.float32)
+        t[f"{p}.self_attn.W_pack.weight"] = rng.normal(size=(3 * hidden, hidden)).astype(np.float32)
+        t[f"{p}.self_attn.o_proj.weight"] = rng.normal(size=(hidden, hidden)).astype(np.float32)
+        t[f"{p}.mlp.gate_proj.weight"] = rng.normal(size=(inter, hidden)).astype(np.float32)
+        t[f"{p}.mlp.up_proj.weight"] = rng.normal(size=(inter, hidden)).astype(np.float32)
+        t[f"{p}.mlp.down_proj.weight"] = rng.normal(size=(hidden, inter)).astype(np.float32)
+    save_file(t, str(tmp_path / "model.safetensors"))
+
+    m = load_llama_from_hf(str(tmp_path))
+    assert m.family == "baichuan"
+    wp = t["model.layers.0.self_attn.W_pack.weight"]
+    np.testing.assert_array_equal(np.asarray(m.params["layers"][0]["k_proj"].weight),
+                                  wp[hidden:2 * hidden])
+    ids = np.random.default_rng(1).integers(0, vocab, (1, 10))
+    import mi_optimize_tpu as mt
+    from mi_optimize_tpu.quant.config import QuantConfig
+
+    qm = mt.quantize(m, QuantConfig(algo="rtn", wbit="int4", w_qtype="per_group",
+                                    w_groupsize=8), calib_data=[ids])
+    logits = llama.forward(qm.params, qm.config, jnp.asarray(ids), fused=False)
+    assert np.isfinite(np.asarray(logits)).all()
