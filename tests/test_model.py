@@ -46,3 +46,23 @@ def test_block_capture_names():
     mask = llama.causal_mask(8)
     _, _, caps = llama.block_apply(m.params["layers"][0], x, cos, sin, mask, cfg, capture=True, fused=False)
     assert set(caps) == set(llama.ALL_LINEARS)
+
+
+def test_qwen2_style_attention_bias():
+    """attn_bias config (Qwen2) produces biased qkv and quantizes cleanly."""
+    import mi_optimize_tpu as mt
+    from mi_optimize_tpu.quant.config import QuantConfig
+
+    cfg = llama.LlamaConfig.tiny(attn_bias=True)
+    params = llama.init_params(cfg, jax.random.PRNGKey(3))
+    assert params["layers"][0]["q_proj"].bias is not None
+    m = Model(config=cfg, params=params, family="qwen2")
+    ids = jnp.asarray(np.random.default_rng(4).integers(0, 256, (1, 12)))
+    logits = llama.forward(m.params, m.config, ids, fused=False)
+    assert np.isfinite(np.asarray(logits)).all()
+    qm = mt.quantize(m, QuantConfig(algo="rtn", wbit="int4", w_qtype="per_group",
+                                    w_groupsize=16), calib_data=[np.asarray(ids)])
+    lin = qm.params["layers"][0]["q_proj"]
+    assert lin.packed is not None and lin.bias is not None
+    logits2 = llama.forward(qm.params, qm.config, ids, fused=False)
+    assert np.isfinite(np.asarray(logits2)).all()
