@@ -114,3 +114,12 @@ def test_sharded_generation_matches_single_device():
     out_ref = generate(qm, prompt, max_new_tokens=6, fused=False)
     out_sh = generate(sm, prompt, max_new_tokens=6, fused=False)
     np.testing.assert_array_equal(out_ref, out_sh)
+
+
+def test_global_mesh_and_batch_slice():
+    from mi_optimize_tpu.parallel import launch
+
+    mesh = launch.global_mesh(n_model=2)
+    assert mesh.shape["model"] == 2 and mesh.shape["data"] == 4
+    launch.initialize_multihost()  # single-process no-op
+    assert launch.per_host_batch_slice(16) == slice(0, 16)
