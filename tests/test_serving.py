@@ -181,3 +181,40 @@ def test_speculative_decoding_exact_and_saves_calls():
                                         k=4, fused=False)
     np.testing.assert_array_equal(out2, ref)
     assert 0.0 <= stats2["accept_rate"] <= 1.0
+
+
+def test_paged_batcher_matches_generate():
+    """Paged-pool scheduler == per-request greedy generate; pages recycle."""
+    from mi_optimize_tpu.serving.paged import PagedBatcher
+
+    m = Model.tiny_llama()
+    rng = np.random.default_rng(13)
+    p1 = rng.integers(0, 256, (7,))
+    p2 = rng.integers(0, 256, (11,))
+    ref1 = list(generate(m, p1[None, :], max_new_tokens=5, fused=False)[0, len(p1):])
+    ref2 = list(generate(m, p2[None, :], max_new_tokens=5, fused=False)[0, len(p2):])
+
+    b = PagedBatcher(m, n_slots=2, page_size=4, n_pages=16, pages_per_slot=6,
+                     fused=False)
+    free0 = len(b.free_pages)
+    r1 = b.add_request(p1, max_new_tokens=5)
+    r2 = b.add_request(p2, max_new_tokens=5)
+    reqs = {r.rid: r for r in b.slot_req if r}
+    for _ in range(10):
+        b.step()
+        if all(s is None for s in b.slot_req):
+            break
+    assert reqs[r1].tokens == ref1
+    assert reqs[r2].tokens == ref2
+    # all pages returned to the pool after completion
+    assert len(b.free_pages) == free0
+    # a third request reuses recycled pages and still decodes correctly
+    p3 = rng.integers(0, 256, (6,))
+    ref3 = list(generate(m, p3[None, :], max_new_tokens=4, fused=False)[0, len(p3):])
+    r3 = b.add_request(p3, max_new_tokens=4)
+    req3 = [r for r in b.slot_req if r][0]
+    for _ in range(8):
+        b.step()
+        if all(s is None for s in b.slot_req):
+            break
+    assert req3.tokens == ref3
