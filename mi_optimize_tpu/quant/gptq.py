@@ -77,7 +77,22 @@ def _fake_quant_col(w, scale, zero, bits):
 # core GPTQ matrix solver
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("bits", "blocksize", "groupsize", "actorder", "symmetric", "percdamp"))
+# peak HBM of the jitted cholesky->inverse->cholesky chain is several copies
+# of the [in,in] matrix; above this in_features we prep U on the host instead
+# (a few seconds of numpy — calibration-time only) so llama's 11008-wide
+# down_proj fits a 16GB chip
+_HOST_PREP_THRESHOLD = 8192
+
+
+def _chol_inv_upper_host(H: np.ndarray) -> np.ndarray:
+    """U with Hinv = U^T U, computed on host (numpy/scipy, f32)."""
+    import scipy.linalg as sla
+
+    L = np.linalg.cholesky(H)
+    Hinv = sla.cho_solve((L, True), np.eye(H.shape[0], dtype=np.float32))
+    return np.linalg.cholesky(Hinv).T.astype(np.float32)
+
+
 def gptq_quantize_matrix(
     W: jnp.ndarray,
     H: jnp.ndarray,
@@ -88,11 +103,12 @@ def gptq_quantize_matrix(
     actorder: bool = True,
     symmetric: bool = False,
     percdamp: float = 0.01,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Quantize W [out, in] against Hessian H [in, in]; returns (Q, scales, zeros).
+):
+    """Quantize W [out, in] against Hessian H [in, in].
 
-    scales/zeros: [out, ngroups] (ngroups = in/groupsize, or 1 for per-channel),
-    in act-order-permuted group order when actorder=True (see module docstring).
+    Returns (Q, scales, zeros, perm): scales/zeros [out, ngroups] in
+    act-order-permuted group order when actorder=True (see module docstring);
+    perm is the act-order permutation (None when actorder=False).
     """
     out_f, cols = W.shape
     if groupsize > 0 and blocksize % groupsize != 0:
@@ -108,15 +124,42 @@ def gptq_quantize_matrix(
         perm = jnp.argsort(-jnp.diag(H))
         W = W[:, perm]
         H = H[perm][:, perm]
+    else:
+        perm = None
 
     damp = percdamp * jnp.mean(jnp.diag(H))
     H = H + damp * jnp.eye(cols, dtype=jnp.float32)
 
     # Hinv's upper Cholesky factor U (Hinv = U^T U), as in the reference's
     # cholesky → cholesky_inverse → cholesky(upper) chain.
-    L = jnp.linalg.cholesky(H)
-    Hinv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(cols, dtype=jnp.float32))
-    U = jnp.linalg.cholesky(Hinv).T  # Hinv = (U^T) U with U upper-triangular
+    if cols >= _HOST_PREP_THRESHOLD:
+        U = jnp.asarray(_chol_inv_upper_host(np.asarray(H)))
+    else:
+        L = jnp.linalg.cholesky(H)
+        Hinv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(cols, dtype=jnp.float32))
+        U = jnp.linalg.cholesky(Hinv).T
+
+    Q, scales_all, zeros_all = _gptq_core(
+        W, U, bits=bits, blocksize=blocksize, groupsize=groupsize,
+        symmetric=symmetric,
+    )
+    if actorder:
+        invperm = jnp.argsort(perm)
+        Q = Q[:, invperm]
+    return Q, scales_all, zeros_all, perm
+
+
+@partial(jax.jit, static_argnames=("bits", "blocksize", "groupsize", "symmetric"))
+def _gptq_core(
+    W: jnp.ndarray,
+    U: jnp.ndarray,
+    *,
+    bits: int,
+    blocksize: int,
+    groupsize: int,
+    symmetric: bool,
+):
+    out_f, cols = W.shape
 
     if groupsize == -1:
         g_scale, g_zero = observer_qparams(W, bits, symmetric)  # [out]
@@ -179,12 +222,7 @@ def gptq_quantize_matrix(
         scales_all = jnp.moveaxis(gs_all, 0, 1).reshape(out_f, -1)
         zeros_all = jnp.moveaxis(gz_all, 0, 1).reshape(out_f, -1)
 
-    perm_out = perm if actorder else None
-    if actorder:
-        invperm = jnp.argsort(perm)
-        Q = Q[:, invperm]
-
-    return Q, scales_all, zeros_all, perm_out
+    return Q, scales_all, zeros_all
 
 
 @register_algo("gptq")
