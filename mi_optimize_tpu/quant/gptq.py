@@ -77,22 +77,6 @@ def _fake_quant_col(w, scale, zero, bits):
 # core GPTQ matrix solver
 # ---------------------------------------------------------------------------
 
-# peak HBM of the jitted cholesky->inverse->cholesky chain is several copies
-# of the [in,in] matrix; above this in_features we prep U on the host instead
-# (a few seconds of numpy — calibration-time only) so llama's 11008-wide
-# down_proj fits a 16GB chip
-_HOST_PREP_THRESHOLD = 8192
-
-
-def _chol_inv_upper_host(H: np.ndarray) -> np.ndarray:
-    """U with Hinv = U^T U, computed on host (numpy/scipy, f32)."""
-    import scipy.linalg as sla
-
-    L = np.linalg.cholesky(H)
-    Hinv = sla.cho_solve((L, True), np.eye(H.shape[0], dtype=np.float32))
-    return np.linalg.cholesky(Hinv).T.astype(np.float32)
-
-
 def gptq_quantize_matrix(
     W: jnp.ndarray,
     H: jnp.ndarray,
@@ -131,13 +115,14 @@ def gptq_quantize_matrix(
     H = H + damp * jnp.eye(cols, dtype=jnp.float32)
 
     # Hinv's upper Cholesky factor U (Hinv = U^T U), as in the reference's
-    # cholesky → cholesky_inverse → cholesky(upper) chain.
-    if cols >= _HOST_PREP_THRESHOLD:
-        U = jnp.asarray(_chol_inv_upper_host(np.asarray(H)))
-    else:
-        L = jnp.linalg.cholesky(H)
-        Hinv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(cols, dtype=jnp.float32))
-        U = jnp.linalg.cholesky(Hinv).T
+    # cholesky → cholesky_inverse → cholesky(upper) chain. These run as eager
+    # ops OUTSIDE the solver jit on purpose: one fused program needed ~20GB of
+    # HBM for llama's 11008-wide down_proj; op-by-op the peak stays ~3GB.
+    L = jnp.linalg.cholesky(H)
+    Hinv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(cols, dtype=jnp.float32))
+    del L
+    U = jnp.linalg.cholesky(Hinv).T
+    del Hinv
 
     Q, scales_all, zeros_all = _gptq_core(
         W, U, bits=bits, blocksize=blocksize, groupsize=groupsize,
