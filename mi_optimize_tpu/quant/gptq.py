@@ -77,6 +77,25 @@ def _fake_quant_col(w, scale, zero, bits):
 # core GPTQ matrix solver
 # ---------------------------------------------------------------------------
 
+_INV_CHUNK = 1024
+
+
+@partial(jax.jit, static_argnames=("n", "c"))
+def _eye_block(s0, n, c):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, c), 0)
+    cols_ = jax.lax.broadcasted_iota(jnp.int32, (n, c), 1)
+    return (rows == s0 + cols_).astype(jnp.float32)
+
+
+def _cholesky_inverse_chunked(L, n, chunk=_INV_CHUNK):
+    blocks = []
+    for s0 in range(0, n, chunk):
+        c = min(chunk, n - s0)
+        I_blk = _eye_block(jnp.asarray(s0), n, c)
+        blocks.append(jax.scipy.linalg.cho_solve((L, True), I_blk))
+    return jnp.concatenate(blocks, axis=1)
+
+
 def gptq_quantize_matrix(
     W: jnp.ndarray,
     H: jnp.ndarray,
@@ -116,10 +135,11 @@ def gptq_quantize_matrix(
 
     # Hinv's upper Cholesky factor U (Hinv = U^T U), as in the reference's
     # cholesky → cholesky_inverse → cholesky(upper) chain. These run as eager
-    # ops OUTSIDE the solver jit on purpose: one fused program needed ~20GB of
-    # HBM for llama's 11008-wide down_proj; op-by-op the peak stays ~3GB.
+    # ops OUTSIDE the solver jit, and the inverse solves in RHS column chunks:
+    # XLA's triangular_solve with a full [n,n] identity RHS materializes ~19GB
+    # of temporaries at llama's 11008-wide down_proj — chunking bounds it.
     L = jnp.linalg.cholesky(H)
-    Hinv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(cols, dtype=jnp.float32))
+    Hinv = _cholesky_inverse_chunked(L, cols)
     del L
     U = jnp.linalg.cholesky(Hinv).T
     del Hinv
