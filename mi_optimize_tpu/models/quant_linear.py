@@ -86,6 +86,10 @@ def dequant_weight(q: QuantizedLinear) -> jnp.ndarray:
     """
     s = q.spec
     if q.packed is None:
+        if s.fp8_format is not None and q.weight.dtype in (jnp.float8_e4m3fn,
+                                                           jnp.float8_e5m2):
+            # native-fp8 storage: values were scaled into fp8 range by w_scale
+            return q.weight.astype(jnp.float32) / q.w_scale
         return q.weight
     rng = qrange(s.wbit, s.w_unsigned)
     w_int = packing.unpack_weight(q.packed, s.wbit, rng, q.in_features).astype(jnp.float32)

@@ -76,6 +76,16 @@ class FP8Algo(BaseAlgo):
             wbit=8, abit=8 if cfg.quantize_acts else None, fp8_format=fmt,
             w_packed=False, a_dynamic=True,
         )
+        if cfg.pack:
+            # store NATIVE float8: the reference's emulated grid (M·2^E with
+            # the per-format exponent floor/flush rules) is exactly the fp8
+            # value set, so fake_w·scale casts losslessly — 1 byte/weight in
+            # HBM (the reference keeps fp16 fake weights; ours is 2-4x
+            # smaller). Dequant divides the cast-back values by scale.
+            f8 = jnp.float8_e4m3fn if fmt == "e4m3" else jnp.float8_e5m2
+            stored = (fake_w * scale).astype(f8)
+            return lin.replace(weight=stored, spec=spec,
+                               w_scale=scale, w_zero=jnp.zeros_like(scale))
         return lin.replace(
             weight=fake_w.astype(lin.weight.dtype), spec=spec,
             w_scale=scale, w_zero=jnp.zeros_like(scale),

@@ -193,3 +193,26 @@ def test_generic_driver_matches_shapes(fp_setup):
     for blk in qm.params["layers"]:
         for name in ("q_proj", "down_proj"):
             assert blk[name].packed is not None or blk[name].weight is not None
+
+
+def test_fp8_native_storage_exact(fp_setup):
+    """Native float8 storage reproduces the emulated grid exactly and survives
+    checkpointing."""
+    import jax.numpy as jnp
+
+    from mi_optimize_tpu.models.quant_linear import dequant_weight
+
+    m, batches, fp_ppl = fp_setup
+    cfg_native = QuantConfig(algo="fp8", wbit="int8", abit="float16",
+                             fp8_format="e4m3", pack=True)
+    cfg_fake = QuantConfig(algo="fp8", wbit="int8", abit="float16",
+                           fp8_format="e4m3", pack=False)
+    qn = mt.quantize(m, cfg_native, calib_data=batches)
+    qf = mt.quantize(m, cfg_fake, calib_data=batches)
+    ln, lf = qn.params["layers"][0]["q_proj"], qf.params["layers"][0]["q_proj"]
+    assert ln.weight.dtype == jnp.float8_e4m3fn
+    np.testing.assert_allclose(np.asarray(dequant_weight(ln)),
+                               np.asarray(lf.weight), rtol=1e-6, atol=1e-7)
+    ppl_n = compute_ppl(qn, batches, fused=False)
+    ppl_f = compute_ppl(qf, batches, fused=False)
+    assert abs(ppl_n - ppl_f) < 1e-3
