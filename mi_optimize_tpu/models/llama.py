@@ -211,6 +211,36 @@ def block_apply(
         q = quant_linear_apply(blk["q_proj"], h, fused=fused)
         k = quant_linear_apply(blk["k_proj"], h, fused=fused)
         v = quant_linear_apply(blk["v_proj"], h, fused=fused)
+    # fused decode fast path: rope + int8-cache append + attention in ONE
+    # Pallas kernel (ops/decode_attention.py) — the stock path below spends
+    # ~8 small XLA ops on the same work, which dominates launch-bound decode
+    fuse_attn = (
+        fused and not capture and B == 1 and S == 1
+        and isinstance(kv_cache, dict)
+        and jnp.asarray(cache_index).ndim == 0
+        and (cfg.rotary_dim in (-1, cfg.head_dim)) and not cfg.rope_interleaved
+        and jax.default_backend() == "tpu"
+    )
+    if fuse_attn:
+        from ..ops.decode_attention import fused_decode_attention
+
+        attn_flat, ck, cv, ks, vs = fused_decode_attention(
+            q.reshape(1, -1), k.reshape(1, -1), v.reshape(1, -1),
+            cos.reshape(1, cfg.head_dim), sin.reshape(1, cfg.head_dim),
+            kv_cache["k"][0], kv_cache["v"][0],
+            kv_cache["k_scale"][0], kv_cache["v_scale"][0],
+            cache_index,
+            n_heads=cfg.num_heads, n_kv_heads=cfg.num_kv_heads,
+            head_dim=cfg.head_dim, max_len=kv_cache["k"].shape[1],
+        )
+        new_cache = {"k": ck[None], "v": cv[None],
+                     "k_scale": ks[None], "v_scale": vs[None]}
+        attn = attn_flat.reshape(B, S, cfg.num_heads * cfg.head_dim).astype(x.dtype)
+        if capture:
+            caps["o_proj"] = attn
+        x = x + quant_linear_apply(blk["o_proj"], attn, fused=fused)
+        return _mlp_tail(blk, x, cfg, caps, capture, fused), new_cache, caps
+
     q = q.reshape(B, S, cfg.num_heads, cfg.head_dim)
     k = k.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
@@ -261,7 +291,10 @@ def block_apply(
     if capture:
         caps["o_proj"] = attn
     x = x + quant_linear_apply(blk["o_proj"], attn, fused=fused)
+    return _mlp_tail(blk, x, cfg, caps, capture, fused), new_cache, caps
 
+
+def _mlp_tail(blk, x, cfg: LlamaConfig, caps, capture: bool, fused: bool):
     h = rms_norm(x, blk["post_norm"], cfg.rms_eps)
     if capture:
         caps["gate_proj"] = caps["up_proj"] = h
@@ -276,7 +309,7 @@ def block_apply(
     if capture:
         caps["down_proj"] = act
     x = x + quant_linear_apply(blk["down_proj"], act, fused=fused)
-    return x, new_cache, caps
+    return x
 
 
 def quantize_kv(x: jnp.ndarray):
