@@ -39,12 +39,12 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref,
             out_ref, ck_out, cv_out, ks_out, vs_out,
             *, n_heads, n_kv_heads, head_dim, max_len, scale):
     pos = pos_ref[0]
-    cos = cos_ref[:]
-    sin = sin_ref[:]
+    cos = cos_ref[:].astype(jnp.float32)
+    sin = sin_ref[:].astype(jnp.float32)
 
-    q = _rope_rows(q_ref[:].reshape(n_heads, head_dim), cos, sin)
-    k = _rope_rows(k_ref[:].reshape(n_kv_heads, head_dim), cos, sin)
-    v = v_ref[:].reshape(n_kv_heads, head_dim)
+    q = _rope_rows(q_ref[:].astype(jnp.float32).reshape(n_heads, head_dim), cos, sin)
+    k = _rope_rows(k_ref[:].astype(jnp.float32).reshape(n_kv_heads, head_dim), cos, sin)
+    v = v_ref[:].astype(jnp.float32).reshape(n_kv_heads, head_dim)
 
     # per-head int8 quantization of the new k/v row
     k_amax = jnp.clip(jnp.abs(k).max(axis=-1, keepdims=True), 1e-8, None)
