@@ -43,3 +43,17 @@ def test_run_manifest(tmp_path):
     assert "calibrate" in data["phases"]
     assert len(data["config_hash"]) == 16
     assert config_hash(cfg) == data["config_hash"]
+
+
+def test_latency_harness_api():
+    import jax.numpy as jnp
+
+    from mi_optimize_tpu.eval.latency import decode_throughput, forward_latency
+    from mi_optimize_tpu.models.model import Model
+
+    m = Model.tiny_llama()
+    f = forward_latency(m, batch=1, seqlen=16, warmup=1, iters=2, fused=False)
+    assert "avg_ms" in f and "p50_ms" in f
+    d = decode_throughput(m, batch=1, prompt_len=8, decode_tokens=4, warmup=1,
+                          fused=False, cache_dtype=jnp.float32)
+    assert d["tokens_per_s_per_chip"] > 0 and 0 < d["roofline_frac"]
