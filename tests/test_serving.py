@@ -218,3 +218,16 @@ def test_paged_batcher_matches_generate():
         if all(s is None for s in b.slot_req):
             break
     assert req3.tokens == ref3
+
+
+def test_generate_temperature_and_eos():
+    m = Model.tiny_llama()
+    rng = np.random.default_rng(14)
+    prompt = rng.integers(0, 256, (1, 6))
+    out = generate(m, prompt, max_new_tokens=8, temperature=0.8, seed=3, fused=False)
+    assert out.shape[1] <= 14
+    # eos early stop: pick whatever greedy emits first as the eos id
+    ref = generate(m, prompt, max_new_tokens=8, fused=False)
+    eos = int(ref[0, 6])
+    out2 = generate(m, prompt, max_new_tokens=8, eos_token_id=eos, fused=False)
+    assert out2.shape[1] == 7  # stopped right after the first (eos) token
