@@ -295,6 +295,15 @@ def block_apply(
 
 
 def _mlp_tail(blk, x, cfg: LlamaConfig, caps, capture: bool, fused: bool):
+    if (fused and not capture and "gate_proj" in blk
+            and jax.default_backend() == "tpu"):
+        from ..ops.mlp_fused import mlp_apply_fused, mlp_supported
+
+        gate, up, down = blk["gate_proj"], blk["up_proj"], blk["down_proj"]
+        if mlp_supported(gate, up, down, cfg.hidden_size, cfg.intermediate_size):
+            # whole SwiGLU MLP in one Pallas launch (ops/mlp_fused.py)
+            h = rms_norm(x, blk["post_norm"], cfg.rms_eps)
+            return x + mlp_apply_fused(h, gate, up, down, cfg).astype(x.dtype)
     h = rms_norm(x, blk["post_norm"], cfg.rms_eps)
     if capture:
         caps["gate_proj"] = caps["up_proj"] = h

@@ -95,3 +95,30 @@ def test_native_w8a8_generation_consistency(rng):
     out_int8 = generate(qm, prompt, max_new_tokens=6, fused=True)
     # logits differ at float-accumulation noise level; greedy tokens must agree
     np.testing.assert_array_equal(out_fake, out_int8)
+
+
+def test_fused_mlp_matches_separate(rng):
+    """One-kernel MLP ≡ gate/up/down separate path (interpret mode)."""
+    import jax
+
+    import mi_optimize_tpu as mt
+    from mi_optimize_tpu.models import llama
+    from mi_optimize_tpu.models.model import Model
+    from mi_optimize_tpu.models.quant_linear import quant_linear_apply
+    from mi_optimize_tpu.ops.mlp_fused import mlp_apply_fused, mlp_supported
+    from mi_optimize_tpu.quant.config import QuantConfig
+
+    cfg = llama.LlamaConfig.tiny(hidden_size=128, intermediate_size=512, head_dim=32)
+    m = Model(config=cfg, params=llama.init_params(cfg, jax.random.PRNGKey(0)),
+              family="llama")
+    qm = mt.quantize(m, QuantConfig(algo="rtn", wbit="int4", w_qtype="per_group",
+                                    w_groupsize=32), calib_data=[])
+    blk = qm.params["layers"][0]
+    gate, up, down = blk["gate_proj"], blk["up_proj"], blk["down_proj"]
+    assert mlp_supported(gate, up, down, cfg.hidden_size, cfg.intermediate_size)
+    x = jnp.asarray(rng.normal(size=(1, 3, 128)).astype(np.float32))
+    y_fused = np.asarray(mlp_apply_fused(x, gate, up, down, cfg))
+    g = quant_linear_apply(gate, x, fused=False)
+    u = quant_linear_apply(up, x, fused=False)
+    y_ref = np.asarray(quant_linear_apply(down, jax.nn.silu(g) * u, fused=False))
+    np.testing.assert_allclose(y_fused, y_ref, rtol=2e-4, atol=2e-4)
