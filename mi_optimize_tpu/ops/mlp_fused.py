@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .dequant_matmul import _unpack_words
 
-_TI = 256  # intermediate tile (divides llama's 11008)
+_TI = 128  # intermediate tile (divides llama 11008; 256 overflowed VMEM by 2.7MB)
 
 
 def _dequant(wq, scales, zeros, group, rows, cols):
