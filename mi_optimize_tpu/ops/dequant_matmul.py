@@ -56,24 +56,63 @@ def _unpack_words(w: jnp.ndarray, bits: int) -> jnp.ndarray:
     return stacked.reshape(w.shape[0] * vpw, w.shape[1])
 
 
-def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, ng_tile, tk, nk):
+def _unpack_words_planar(w: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """uint32 [TKW, TN] -> f32 [TKW*vpw, TN] with PLANE-MAJOR rows.
+
+    Row i*TKW + w holds value i of word w (orig in-feature w*vpw + i). Unlike
+    `_unpack_words`, the planes are concatenated along rows — a free placement
+    instead of a cross-sublane interleave relayout; measured ~13% faster
+    weight streaming (scripts/exp_planar_unpack.py: 22.7 vs 26.2 us marginal
+    per 4096x4096 int4 matmul). Requires the activation columns permuted to
+    match (see `_planar_perm_x`).
+    """
+    vpw = 32 // bits
+    mask = jnp.uint32((1 << bits) - 1)
+    parts = [
+        jax.lax.bitcast_convert_type((w >> jnp.uint32(bits * i)) & mask, jnp.int32)
+        for i in range(vpw)
+    ]
+    return jnp.concatenate(parts, axis=0).astype(jnp.float32)
+
+
+def _planar_perm_x(x: jnp.ndarray, tk: int, vpw: int) -> jnp.ndarray:
+    """Permute x columns into per-K-tile plane-major order (once, outside the
+    kernel — the relayout is M*K vs the kernel's K*N if done on weights)."""
+    m, k = x.shape
+    tkw = tk // vpw
+    return (x.reshape(m, k // tk, tkw, vpw).transpose(0, 1, 3, 2)
+            .reshape(m, k))
+
+
+def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, ng_tile, tk, nk,
+            planar):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    wq = _unpack_words(w_ref[:], bits).astype(jnp.float32)  # [TK, TN]
-    tn = wq.shape[1]
     # scales arrive pre-expanded per K tile (rows 0:ng_tile of this block) —
     # static slicing only; Mosaic cannot prove alignment of dynamic row slices
     s = s_ref[0:ng_tile, :]
     z = z_ref[0:ng_tile, :]
-    if ng_tile == 1:
-        wd = (wq - z) * s
+    vpw = 32 // bits
+    group = tk // ng_tile
+    if planar:
+        wq = _unpack_words_planar(w_ref[:], bits)  # [TK, TN] plane-major
+        tn = wq.shape[1]
+        # planar row i*TKW+w is orig k = w*vpw+i -> group w // (group/vpw),
+        # independent of the plane i (planar requires group % vpw == 0)
+        wv = wq.reshape(vpw, ng_tile, group // vpw, tn)
+        wd = ((wv - z[None, :, None, :]) * s[None, :, None, :]).reshape(tk, tn)
     else:
-        group = tk // ng_tile
-        wd = ((wq.reshape(ng_tile, group, tn) - z[:, None, :]) * s[:, None, :]).reshape(tk, tn)
+        wq = _unpack_words(w_ref[:], bits).astype(jnp.float32)  # [TK, TN]
+        tn = wq.shape[1]
+        if ng_tile == 1:
+            wd = (wq - z) * s
+        else:
+            wd = ((wq.reshape(ng_tile, group, tn) - z[:, None, :])
+                  * s[:, None, :]).reshape(tk, tn)
 
     x = x_ref[:]
     acc_ref[:] += jax.lax.dot_general(
@@ -148,8 +187,13 @@ def packed_matmul(
 
     grid = (M // TM, N // TN, nk)
 
+    planar = (TK // ng_tile) % vpw == 0
+    if planar:
+        x = _planar_perm_x(x, TK, vpw)
+
     out = pl.pallas_call(
-        functools.partial(_kernel, bits=bits, ng_tile=ng_tile, tk=TK, nk=nk),
+        functools.partial(_kernel, bits=bits, ng_tile=ng_tile, tk=TK, nk=nk,
+                          planar=planar),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TM, TK), lambda i, j, k: (i, k)),
