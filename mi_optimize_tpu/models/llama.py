@@ -197,6 +197,23 @@ def block_apply(
     q_dim = cfg.num_heads * cfg.head_dim
     kv_dim = cfg.num_kv_heads * cfg.head_dim
 
+    # decode megakernel: the ENTIRE block in one Pallas launch
+    # (ops/block_fused.py) — prepared by serving.optimize.fuse_for_serving
+    if (
+        fused and not capture and "mega" in blk and B == 1 and S == 1
+        and isinstance(kv_cache, dict)
+        and jnp.asarray(cache_index).ndim == 0
+    ):
+        from ..ops.block_fused import block_decode_mega
+
+        x_out, new_cache = block_decode_mega(
+            {k: v for k, v in blk.items() if k != "mega"}, blk["mega"],
+            x, cos.reshape(-1)[-cfg.head_dim:], sin.reshape(-1)[-cfg.head_dim:],
+            kv_cache, cache_index, cfg,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return x_out, new_cache, caps
+
     h = rms_norm(x, blk["input_norm"], cfg.rms_eps)
     if capture:
         caps["q_proj"] = caps["k_proj"] = caps["v_proj"] = h

@@ -1,0 +1,556 @@
+"""Decode block megakernel: ONE Pallas launch per transformer layer per token.
+
+Single-stream decode on TPU is launch-bound (BENCH_DETAILS.md: ~100-150us
+residual per-pallas-call overhead in-program): the previous fast path spent 4
+launches per layer (fused QKV matmul, fused attention, o_proj, fused MLP).
+This kernel executes the ENTIRE decoder block in one `pallas_call` by phasing
+a 1-D grid:
+
+    j in [0, NQ)              K-tiled  h = rmsnorm(x); qkv_acc += h_t @ Wqkv_t
+    j == NQ                   rope -> int8 KV append -> masked attention
+    j in (NQ, NQ+NO]          K-tiled  o_acc += attn_t @ Wo_t
+    j in (NQ+NO, NQ+NO+NI]    x_mid = x + o_acc; per-intermediate-tile SwiGLU
+                              (gate/up dequant-matmul, silu*mul, down acc)
+    last step                 x_out = x_mid + mlp_acc
+
+Design notes (all measured/validated in this environment — see
+BENCH_DETAILS.md and scripts/exp_planar_unpack.py):
+  * planar unpack: nibble planes are concatenated along rows (a free
+    placement) instead of interleave-reshaped (a cross-sublane relayout);
+    the matching activation permutation is applied to the tiny [1, TK]
+    activation row in-kernel (~13% faster weight streaming).
+  * scales/zeros stay in their logical [ngroups, N] layout and are selected
+    per tile with a one-hot matmul — no 8-row-aligned pre-expansion buffers
+    (the expansion cost 11MB/layer of extra HBM traffic in the MLP).
+  * the KV cache is an aliased *input* only; the kernel emits just the NEW
+    int8 row + scales, and the caller scatters them (dynamic_update_slice on
+    a donated buffer) — halving the previous kernel's cache traffic, which
+    wrote the full [T,H,D] buffers back every step.
+
+Fills the role the reference delegates to fastllm's C++ fused CUDA inference
+(/root/reference/examples/llama/llama2_to_flm.py) — here the native engine is
+this Mosaic kernel.
+
+Scope: B=1, S=1 decode, int8 KV cache, packed int4/int8 weights per
+`core/packing.py`, per_group or per_channel scales, no biases / smooth
+factors / act quant (the RTN/GPTQ serving configuration). Everything else
+falls back to the 4-launch path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TKA = 256  # streamed contraction tile (hidden axis) for the qkv / o phases
+CH = 512   # static MLP contraction chunk (h2 slices; not a streamed block)
+TI = 128   # intermediate tile for MLP phases
+
+
+def _unpack_planar(w, bits):
+    """uint32 [W, N] -> f32 [W*vpw, N], plane-major rows (r = i*W + w)."""
+    vpw = 32 // bits
+    mask = jnp.uint32((1 << bits) - 1)
+    parts = [
+        jax.lax.bitcast_convert_type((w >> jnp.uint32(bits * i)) & mask, jnp.int32)
+        for i in range(vpw)
+    ]
+    return jnp.concatenate(parts, axis=0).astype(jnp.float32)
+
+
+def _planar_mat(tk, vpw):
+    """[tk, tk] f32 permutation matrix: (row @ P)[l] = row[sigma(l)] with
+    sigma(l) = (l % tkw)*vpw + l//tkw — i.e. the plane-major activation order
+    matching `_unpack_planar`. Built from iota compares (Mosaic rejects
+    1-row reshapes like [1,512]->[1,64,8], so the permutation rides the MXU
+    as a tiny dot instead)."""
+    tkw = tk // vpw
+    a = jax.lax.broadcasted_iota(jnp.int32, (tk, tk), 0)
+    l = jax.lax.broadcasted_iota(jnp.int32, (tk, tk), 1)
+    return (a == (l % tkw) * vpw + l // tkw).astype(jnp.float32)
+
+
+def _perm_row(row, vpw):
+    """[1, tk] activation row -> plane-major order (one MXU dot)."""
+    return jax.lax.dot_general(row, _planar_mat(row.shape[1], vpw),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dequant_planar(wq, s, z, bits, group, tn):
+    """Planar-rows dequant: wq [vpw*W, tn]; s/z [ng, tn] for this tile.
+
+    Orig k of planar row i*W+w is w*vpw+i, so the group index is
+    w // (group/vpw) — independent of the plane i (requires group % vpw == 0).
+    """
+    vpw = 32 // bits
+    ng = wq.shape[0] // group
+    gw = group // vpw
+    wv = wq.reshape(vpw, ng, gw, tn)
+    return ((wv - z[None, :, None, :]) * s[None, :, None, :]).reshape(wq.shape)
+
+
+def _onehot_rows(start, n, total):
+    """[n, total] f32 one-hot selecting rows [start, start+n) (traced start)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, total), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, total), 1)
+    return (c == r + start).astype(jnp.float32)
+
+
+def _scale_block_rows(tile_k, g):
+    """Rows of the scale BLOCK streamed per tile (see _scale_spec)."""
+    n = max(tile_k // g, 1)
+    return max(n, 8)
+
+
+def _scale_spec(nlanes, tk, g, tile_of_j):
+    """BlockSpec walking the logical [ngroups, N] scale layout: the grid
+    streams only the ~8 rows each tile needs instead of holding the whole
+    (multi-MB, double-buffered) array in VMEM."""
+    n = max(tk // g, 1)
+    if n >= 8:
+        return pl.BlockSpec((n, nlanes), lambda j, p: (tile_of_j(j, p), 0))
+    return pl.BlockSpec(
+        (8, nlanes), lambda j, p: (((tile_of_j(j, p) * tk) // g) // 8, 0))
+
+
+def _select_sz(s_ref, z_ref, tile_idx, tile_k, g):
+    """Select this K-tile's scale/zero rows from its streamed block (the
+    block holds exactly the tile's rows when groups-per-tile >= 8; otherwise
+    an 8-row window selected here by a one-hot matmul — Mosaic cannot prove
+    alignment of dynamic row slices).
+
+    Returns (s, z, g_eff) with g_eff the effective in-tile group size."""
+    n = max(tile_k // g, 1)
+    R = s_ref.shape[0]
+    if n == R:
+        return s_ref[:], z_ref[:], min(g, tile_k)
+    lo = ((tile_idx * tile_k) // g) % R
+    oh = _onehot_rows(lo, n, R)
+    s = jax.lax.dot_general(oh, s_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    z = jax.lax.dot_general(oh, z_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return s, z, min(g, tile_k)
+
+
+def _rope_rows(x, cos, sin):
+    D = x.shape[-1]
+    half = D // 2
+    x1, x2 = x[:, :half], x[:, half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos + rotated * sin
+
+
+def _kernel(
+    # scalar prefetch
+    pos_ref,
+    # inputs
+    x_ref, n1t_ref, xt_ref,
+    qkv_ref, qs_ref, qz_ref,
+    cos_ref, sin_ref,
+    ck_ref, cv_ref, ks_ref, vs_ref,
+    o_ref_w, os_ref, oz_ref,
+    n2_ref,
+    g_ref, u_ref, gus_ref, guz_ref,
+    d_ref, ds_ref, dz_ref,
+    # outputs
+    xo_ref, krow_ref, vrow_ref, ksrow_ref, vsrow_ref,
+    # scratch
+    qkv_acc, attn_sc, oacc_sc, xmid_sc, h2_sc, mlp_acc,
+    *,
+    bits, hidden, q_dim, kv_dim, inter,
+    n_heads, n_kv_heads, head_dim, max_len,
+    g_qkv, g_o, g_gu, g_d, nq, no, ni, out_dtype, rms_eps,
+):
+    j = pl.program_id(0)
+    vpw = 32 // bits
+    tkw = TKA // vpw
+    eps = rms_eps
+    n_qkv = q_dim + 2 * kv_dim
+
+    # ---------------- phase 1: j in [0, nq) — qkv_acc += h_tile @ Wqkv_tile
+    @pl.when(j < nq)
+    def _qkv():
+        @pl.when(j == 0)
+        def _():
+            qkv_acc[:] = jnp.zeros_like(qkv_acc)
+
+        xf = x_ref[:].astype(jnp.float32)
+        rstd = jax.lax.rsqrt(jnp.mean(xf * xf) + eps)
+        ht = (xt_ref[:].astype(jnp.float32) * rstd).astype(x_ref.dtype)
+        ht = (ht * n1t_ref[:]).astype(jnp.float32)          # [1, TKA]
+        hp = _perm_row(ht, vpw)
+        s, z, ge = _select_sz(qs_ref, qz_ref, j, TKA, g_qkv)
+        # chunk the N axis to bound the unpacked f32 transient
+        cn = 2048 if n_qkv % 2048 == 0 else n_qkv
+        for c in range(n_qkv // cn):
+            wq = _unpack_planar(qkv_ref[:, c * cn:(c + 1) * cn], bits)
+            wd = _dequant_planar(wq, s[:, c * cn:(c + 1) * cn],
+                                 z[:, c * cn:(c + 1) * cn], bits, ge, cn)
+            qkv_acc[:, c * cn:(c + 1) * cn] += jax.lax.dot_general(
+                hp, wd, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    # ---------------- phase 2: j == nq — rope + cache append + attention
+    @pl.when(j == nq)
+    def _attn():
+        pos = pos_ref[0]
+        cos = cos_ref[:].astype(jnp.float32)
+        sin = sin_ref[:].astype(jnp.float32)
+        qkv = qkv_acc[:]
+        q = _rope_rows(qkv[:, :q_dim].reshape(n_heads, head_dim), cos, sin)
+        k = _rope_rows(qkv[:, q_dim:q_dim + kv_dim].reshape(n_kv_heads, head_dim),
+                       cos, sin)
+        v = qkv[:, q_dim + kv_dim:].reshape(n_kv_heads, head_dim)
+
+        k_amax = jnp.clip(jnp.abs(k).max(axis=-1, keepdims=True), 1e-8, None)
+        v_amax = jnp.clip(jnp.abs(v).max(axis=-1, keepdims=True), 1e-8, None)
+        k_s = k_amax / 127.0
+        v_s = v_amax / 127.0
+        k_q = jnp.clip(jnp.round(k / k_s), -127, 127).astype(jnp.int8)
+        v_q = jnp.clip(jnp.round(v / v_s), -127, 127).astype(jnp.int8)
+        krow_ref[:] = k_q[None]
+        vrow_ref[:] = v_q[None]
+        ksrow_ref[:] = k_s.reshape(1, -1)
+        vsrow_ref[:] = v_s.reshape(1, -1)
+
+        k_all = ck_ref[:].astype(jnp.float32) * ks_ref[:][..., None]  # [T,Hkv,D]
+        v_all = cv_ref[:].astype(jnp.float32) * vs_ref[:][..., None]
+
+        reps = n_heads // n_kv_heads
+        t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1)
+        hist = t_ids < pos  # strictly-past tokens; the new row handled locally
+        scale = 1.0 / float(np.sqrt(head_dim))
+        qg = q.reshape(n_kv_heads, reps, head_dim)
+        outs = []
+        for hk in range(n_kv_heads):
+            kh = k_all[:, hk, :]
+            vh = v_all[:, hk, :]
+            s = jax.lax.dot_general(qg[hk], kh, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            s = jnp.where(hist, s, jnp.finfo(jnp.float32).min)  # [reps, T]
+            # the freshly-written row participates via its exact (dequantized)
+            # value, matching what the cache will hold next step
+            kd = (k_q[hk].astype(jnp.float32) * k_s[hk])
+            vd = (v_q[hk].astype(jnp.float32) * v_s[hk])
+            s_new = (qg[hk] * kd[None, :]).sum(-1, keepdims=True) * scale  # [reps,1]
+            m = jnp.maximum(s.max(axis=-1, keepdims=True), s_new)
+            e = jnp.exp(s - m)
+            e_new = jnp.exp(s_new - m)
+            denom = e.sum(axis=-1, keepdims=True) + e_new
+            o = jax.lax.dot_general(e, vh, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            o = (o + e_new * vd[None, :]) / denom
+            outs.append(o)
+        out = jnp.concatenate(outs, axis=0)  # [n_heads, D]
+        # store per-TK chunks pre-permuted into plane-major order so the
+        # o-phase consumes them directly (static row writes; 1-row reshapes
+        # beyond [1, n] are not Mosaic-legal)
+        flat = out.reshape(1, q_dim)
+        pm = _planar_mat(TKA, vpw)
+        for r in range(q_dim // TKA):
+            attn_sc[r:r + 1, :] = jax.lax.dot_general(
+                flat[:, r * TKA:(r + 1) * TKA], pm, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    # ---------------- phase 3: j in (nq, nq+no] — o_acc += attn_t @ Wo_t
+    @pl.when((j > nq) & (j <= nq + no))
+    def _oproj():
+        kt = j - (nq + 1)
+
+        @pl.when(kt == 0)
+        def _():
+            oacc_sc[:] = jnp.zeros_like(oacc_sc)
+
+        # attn_sc rows are already plane-major (phase 2)
+        ap = jax.lax.dot_general(_onehot_rows(kt, 1, attn_sc.shape[0]), attn_sc[:],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # [1, TKA]
+        s, z, ge = _select_sz(os_ref, oz_ref, kt, TKA, g_o)
+        wq = _unpack_planar(o_ref_w[:], bits)
+        wd = _dequant_planar(wq, s, z, bits, ge, hidden)
+        oacc_sc[:] += jax.lax.dot_general(ap, wd, (((1,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+
+    # ---------------- phase 4: MLP tiles — j in (nq+no, nq+no+ni]
+    @pl.when(j > nq + no)
+    def _mlp():
+        m = j - (nq + no + 1)
+
+        @pl.when(m == 0)
+        def _():
+            xmid = x_ref[:].astype(jnp.float32) + oacc_sc[:]
+            xmid_sc[:] = xmid
+            rstd2 = jax.lax.rsqrt(jnp.mean(xmid * xmid) + eps)
+            h2 = (xmid * rstd2).astype(out_dtype)
+            h2 = (h2 * n2_ref[:]).astype(jnp.float32)
+            # store h2 per-TK chunks pre-permuted (plane-major within chunk)
+            pm = _planar_mat(CH, vpw)
+            for r in range(hidden // CH):
+                h2_sc[:, r * CH:(r + 1) * CH] = jax.lax.dot_general(
+                    h2[:, r * CH:(r + 1) * CH], pm, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            mlp_acc[:] = jnp.zeros_like(mlp_acc)
+
+        # gate/up contract the full hidden axis per tile, in TK chunks with
+        # chunk-local plane-major layout (all slices static: r is a python int)
+        # gus/guz carry [2*ngh, TI] per tile: rows [0:ngh] gate, [ngh:] up
+        ngh = max(hidden // g_gu, 1)
+        g_eff = min(g_gu, CH)
+        ngc = max(CH // g_gu, 1)
+        chw = CH // vpw
+        gate = jnp.zeros((1, TI), jnp.float32)
+        up = jnp.zeros((1, TI), jnp.float32)
+        for r in range(hidden // CH):
+            hp_r = h2_sc[:, r * CH:(r + 1) * CH]
+            rs = (r * CH) // g_gu
+            wg = _unpack_planar(g_ref[r * chw:(r + 1) * chw, :], bits)
+            wg = _dequant_planar(wg, gus_ref[rs:rs + ngc, :],
+                                 guz_ref[rs:rs + ngc, :], bits, g_eff, TI)
+            gate += jax.lax.dot_general(hp_r, wg, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            wu = _unpack_planar(u_ref[r * chw:(r + 1) * chw, :], bits)
+            wu = _dequant_planar(wu, gus_ref[ngh + rs:ngh + rs + ngc, :],
+                                 guz_ref[ngh + rs:ngh + rs + ngc, :],
+                                 bits, g_eff, TI)
+            up += jax.lax.dot_general(hp_r, wu, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        act = gate * (1.0 / (1.0 + jnp.exp(-gate))) * up  # [1, TI]
+
+        ap = _perm_row(act, vpw)
+        sd, zd, ged = _select_sz(ds_ref, dz_ref, m, TI, g_d)
+        wd_ = _unpack_planar(d_ref[:], bits)
+        wd_ = _dequant_planar(wd_, sd, zd, bits, ged, hidden)
+        mlp_acc[:] += jax.lax.dot_general(ap, wd_, (((1,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+
+        @pl.when(m == ni - 1)
+        def _():
+            xo_ref[:] = (xmid_sc[:] + mlp_acc[:]).astype(xo_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# wrapper / preparation
+# ---------------------------------------------------------------------------
+
+def _pad_rows8(a):
+    r = a.shape[0]
+    pad = (-r) % 8
+    if pad:
+        a = jnp.concatenate([a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])], 0)
+    return a
+
+
+def _scales_t(lin) -> tuple:
+    """Logical per-linear scales -> kernel layout [ngroups, out] f32 (+zero-qmin)."""
+    from ..core.qparams import qrange
+
+    s = lin.spec
+    g = s.w_groupsize if (s.w_qtype == "per_group" and s.w_groupsize > 0) else lin.in_features
+    ng = lin.in_features // g
+    n = lin.out_features
+    rng = qrange(s.wbit, s.w_unsigned)
+    st = jnp.broadcast_to(jnp.reshape(lin.w_scale, (-1, ng)).T, (ng, n)).astype(jnp.float32)
+    zt = jnp.broadcast_to(jnp.reshape(lin.w_zero, (-1, ng)).T, (ng, n)).astype(jnp.float32)
+    return st, zt - float(rng.qmin), g
+
+
+def _lin_ok(lin, cfg) -> bool:
+    if lin is None or lin.packed is None:
+        return False
+    if lin.bias is not None or lin.smooth_factor is not None:
+        return False
+    if lin.a_scale is not None or lin.perm is not None:
+        return False
+    s = lin.spec
+    if s.wbit not in (4, 8) or s.abit is not None:
+        return False
+    if s.w_qtype not in ("per_group", "per_channel"):
+        return False
+    g = s.w_groupsize if s.w_qtype == "per_group" else lin.in_features
+    vpw = 32 // s.wbit
+    if g % vpw:
+        return False
+    return True
+
+
+def block_mega_supported(blk: Dict[str, Any], cfg) -> bool:
+    """Whether the one-launch decode megakernel applies to this block."""
+    if "qkv_proj" not in blk or "gateup_proj" not in blk:
+        return False
+    lins = [blk["qkv_proj"], blk["o_proj"], blk["gateup_proj"], blk["down_proj"]]
+    if not all(_lin_ok(l, cfg) for l in lins):
+        return False
+    if len({l.spec.wbit for l in lins}) != 1:
+        return False
+    h, q_dim = cfg.hidden_size, cfg.num_heads * cfg.head_dim
+    inter = cfg.intermediate_size
+    if h % CH or q_dim % TKA or inter % TI:
+        return False
+    if cfg.rotary_dim not in (-1, cfg.head_dim) or cfg.rope_interleaved:
+        return False
+
+    def grp(lin):
+        s = lin.spec
+        return s.w_groupsize if s.w_qtype == "per_group" and s.w_groupsize > 0 else lin.in_features
+
+    for lin, tile in ((blk["qkv_proj"], TKA), (blk["o_proj"], TKA),
+                      (blk["down_proj"], TI)):
+        g = grp(lin)
+        if not (tile % g == 0 or g % tile == 0):
+            return False
+    if h % grp(blk["gateup_proj"]):
+        return False
+    return True
+
+
+def prepare_block(blk: Dict[str, Any], cfg) -> Dict[str, jnp.ndarray]:
+    """Precompute kernel-layout scale/zero arrays for one block (fuse time)."""
+    qs, qz, _ = _scales_t(blk["qkv_proj"])
+    os_, oz, _ = _scales_t(blk["o_proj"])
+    gus, guz, _ = _scales_t(blk["gateup_proj"])
+    ds, dz, _ = _scales_t(blk["down_proj"])
+    inter = cfg.intermediate_size
+    # gate rows stacked over up rows, per output tile: [2*ngh, inter]
+    gus2 = jnp.concatenate([gus[:, :inter], gus[:, inter:]], axis=0)
+    guz2 = jnp.concatenate([guz[:, :inter], guz[:, inter:]], axis=0)
+    return {
+        "qs": _pad_rows8(qs), "qz": _pad_rows8(qz),
+        "os": _pad_rows8(os_), "oz": _pad_rows8(oz),
+        "gus": _pad_rows8(gus2), "guz": _pad_rows8(guz2),
+        "ds": _pad_rows8(ds), "dz": _pad_rows8(dz),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def block_decode_mega(blk, mega, x, cos, sin, cache, pos, cfg, interpret=False):
+    """One decoder block, one Pallas launch. x [1,1,H] -> (x_out, new_cache).
+
+    The KV cache is consumed read-only; the kernel returns just the new int8
+    row + scales and this wrapper scatters them (in-place on donated buffers
+    under jit) — half the cache traffic of a full write-back.
+    """
+    h = cfg.hidden_size
+    q_dim = cfg.num_heads * cfg.head_dim
+    kv_dim = cfg.num_kv_heads * cfg.head_dim
+    inter = cfg.intermediate_size
+    qkv, o_l, gu, dn = blk["qkv_proj"], blk["o_proj"], blk["gateup_proj"], blk["down_proj"]
+    bits = qkv.spec.wbit
+    vpw = 32 // bits
+
+    def grp(lin):
+        s = lin.spec
+        return s.w_groupsize if s.w_qtype == "per_group" and s.w_groupsize > 0 else lin.in_features
+
+    nq, no, ni = h // TKA, q_dim // TKA, inter // TI
+    grid = nq + 1 + no + ni
+    max_len = cache["k"].shape[1]
+    n_qkv = q_dim + 2 * kv_dim
+    x_row = x.reshape(1, h)
+
+    kern = functools.partial(
+        _kernel, bits=bits, hidden=h, q_dim=q_dim, kv_dim=kv_dim, inter=inter,
+        n_heads=cfg.num_heads, n_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim, max_len=max_len,
+        g_qkv=grp(qkv), g_o=grp(o_l), g_gu=grp(gu), g_d=grp(dn),
+        nq=nq, no=no, ni=ni, out_dtype=x.dtype, rms_eps=cfg.rms_eps,
+    )
+
+    mlp0 = nq + no + 1
+    t_qkv = lambda j, p: jnp.minimum(j, nq - 1)
+    t_o = lambda j, p: jnp.clip(j - (nq + 1), 0, no - 1)
+    t_mlp = lambda j, p: jnp.clip(j - mlp0, 0, ni - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, h), lambda j, p: (0, 0)),                    # x full
+            pl.BlockSpec((1, TKA), lambda j, p: (0, t_qkv(j, p))),        # n1 tile
+            pl.BlockSpec((1, TKA), lambda j, p: (0, t_qkv(j, p))),        # x tile
+            pl.BlockSpec((TKA // vpw, n_qkv),
+                         lambda j, p: (t_qkv(j, p), 0)),                  # qkv packed
+            _scale_spec(n_qkv, TKA, grp(qkv), t_qkv),
+            _scale_spec(n_qkv, TKA, grp(qkv), t_qkv),
+            pl.BlockSpec((1, cfg.head_dim), lambda j, p: (0, 0)),         # cos
+            pl.BlockSpec((1, cfg.head_dim), lambda j, p: (0, 0)),         # sin
+            pl.BlockSpec(cache["k"].shape[1:], lambda j, p: (0, 0, 0)),   # ck
+            pl.BlockSpec(cache["v"].shape[1:], lambda j, p: (0, 0, 0)),   # cv
+            pl.BlockSpec(cache["k_scale"].shape[1:], lambda j, p: (0, 0)),
+            pl.BlockSpec(cache["v_scale"].shape[1:], lambda j, p: (0, 0)),
+            pl.BlockSpec((TKA // vpw, h), lambda j, p: (t_o(j, p), 0)),   # o packed
+            _scale_spec(h, TKA, grp(o_l), t_o),
+            _scale_spec(h, TKA, grp(o_l), t_o),
+            pl.BlockSpec((1, h), lambda j, p: (0, 0)),                    # n2
+            pl.BlockSpec((h // vpw, TI),
+                         lambda j, p: (0, t_mlp(j, p))),                  # gate
+            pl.BlockSpec((h // vpw, TI),
+                         lambda j, p: (0, ni + t_mlp(j, p))),             # up
+            pl.BlockSpec((mega["gus"].shape[0], TI),
+                         lambda j, p: (0, t_mlp(j, p))),
+            pl.BlockSpec((mega["guz"].shape[0], TI),
+                         lambda j, p: (0, t_mlp(j, p))),
+            pl.BlockSpec((TI // vpw, h), lambda j, p: (t_mlp(j, p), 0)),  # down
+            _scale_spec(h, TI, grp(dn), t_mlp),
+            _scale_spec(h, TI, grp(dn), t_mlp),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h), lambda j, p: (0, 0)),                    # x_out
+            pl.BlockSpec((1, cfg.num_kv_heads, cfg.head_dim), lambda j, p: (0, 0, 0)),
+            pl.BlockSpec((1, cfg.num_kv_heads, cfg.head_dim), lambda j, p: (0, 0, 0)),
+            pl.BlockSpec((1, cfg.num_kv_heads), lambda j, p: (0, 0)),
+            pl.BlockSpec((1, cfg.num_kv_heads), lambda j, p: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, n_qkv), jnp.float32),        # qkv_acc
+            pltpu.VMEM((q_dim // TKA, TKA), jnp.float32),  # attn rows
+            pltpu.VMEM((1, h), jnp.float32),            # o acc
+            pltpu.VMEM((1, h), jnp.float32),            # x_mid
+            pltpu.VMEM((1, h), jnp.float32),            # h2 (planar)
+            pltpu.VMEM((1, h), jnp.float32),            # mlp acc
+        ],
+    )
+
+    pos_arr = jnp.reshape(pos, (1,)).astype(jnp.int32)
+    x_out, krow, vrow, ksrow, vsrow = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, h), x.dtype),
+            jax.ShapeDtypeStruct((1, cfg.num_kv_heads, cfg.head_dim), jnp.int8),
+            jax.ShapeDtypeStruct((1, cfg.num_kv_heads, cfg.head_dim), jnp.int8),
+            jax.ShapeDtypeStruct((1, cfg.num_kv_heads), jnp.float32),
+            jax.ShapeDtypeStruct((1, cfg.num_kv_heads), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        pos_arr,
+        x_row, blk["input_norm"].reshape(1, h), x_row,
+        qkv.packed, mega["qs"], mega["qz"],
+        cos.reshape(1, cfg.head_dim), sin.reshape(1, cfg.head_dim),
+        cache["k"][0], cache["v"][0], cache["k_scale"][0], cache["v_scale"][0],
+        o_l.packed, mega["os"], mega["oz"],
+        blk["post_norm"].reshape(1, h),
+        gu.packed, gu.packed, mega["gus"], mega["guz"],
+        dn.packed, mega["ds"], mega["dz"],
+    )
+
+    # keep the cache scatter OUT of the pallas fusion: fused, its outputs are
+    # charged against XLA's 16MB scoped-vmem budget and the kernel overflows
+    x_out, krow, vrow, ksrow, vsrow = jax.lax.optimization_barrier(
+        (x_out, krow, vrow, ksrow, vsrow))
+    upd = lambda buf, new: jax.lax.dynamic_update_slice(
+        buf, new[None].astype(buf.dtype), (0, pos) + (0,) * (buf.ndim - 2))
+    new_cache = {
+        "k": upd(cache["k"], krow),
+        "v": upd(cache["v"], vrow),
+        "k_scale": upd(cache["k_scale"], ksrow),
+        "v_scale": upd(cache["v_scale"], vsrow),
+    }
+    return x_out.reshape(x.shape), new_cache

@@ -77,9 +77,17 @@ def _fuse(lins) -> Optional[QuantizedLinear]:
 
 
 def fuse_for_serving(model: Model) -> Model:
-    """Return a model with per-block fused qkv_proj / gateup_proj linears."""
+    """Return a model with per-block fused qkv_proj / gateup_proj linears.
+
+    When a block additionally satisfies the decode-megakernel contract
+    (ops/block_fused.py: packed int4/int8, aligned shapes), kernel-layout
+    scale/zero arrays are precomputed into blk["mega"] and llama.block_apply
+    runs the whole block as ONE Pallas launch per decode step.
+    """
+    from ..ops.block_fused import block_mega_supported, prepare_block
+
     new_layers = []
-    n_fused = 0
+    n_fused = n_mega = 0
     for blk in model.params["layers"]:
         nb = dict(blk)
         qkv = _fuse([blk["q_proj"], blk["k_proj"], blk["v_proj"]])
@@ -91,8 +99,12 @@ def fuse_for_serving(model: Model) -> Model:
         if gu is not None:
             nb["gateup_proj"] = gu
             del nb["gate_proj"], nb["up_proj"]
+        if block_mega_supported(nb, model.config):
+            nb["mega"] = prepare_block(nb, model.config)
+            n_mega += 1
         new_layers.append(nb)
-    log.info("fused qkv in %d/%d blocks", n_fused, len(new_layers))
+    log.info("fused qkv in %d/%d blocks; megakernel in %d", n_fused,
+             len(new_layers), n_mega)
     params = dict(model.params)
     params["layers"] = new_layers
     return Model(config=model.config, params=params, family=model.family)
