@@ -118,13 +118,25 @@ class _HFMultipleChoice(MultipleChoiceTask):
 
 @register_task("hellaswag")
 class HellaSwag(_HFMultipleChoice):
+    """Protocol parity: tasks/hellaswag.py:52-68 (ctx_a+ctx_b.capitalize(),
+    activity-label prefix, bracket-artifact scrub)."""
+
     path = "hellaswag"
 
+    @staticmethod
+    def _pre(text):
+        import re
+
+        text = text.strip().replace(" [title]", ". ")
+        text = re.sub(r"\[.*?\]", "", text)
+        return text.replace("  ", " ")
+
     def query(self, doc):
-        return doc["ctx"]
+        ctx = doc["ctx_a"] + " " + doc["ctx_b"].capitalize()
+        return self._pre(doc["activity_label"] + ": " + ctx)
 
     def choices(self, doc):
-        return doc["endings"]
+        return [self._pre(e) for e in doc["endings"]]
 
     def gold(self, doc):
         return int(doc["label"])
@@ -146,18 +158,28 @@ class PiQA(_HFMultipleChoice):
 
 @register_task("winogrande")
 class Winogrande(_HFMultipleChoice):
+    """Partial-evaluation protocol (tasks/winogrande.py:56-100): ll of the
+    shared TAIL given each option substituted for the pronoun."""
+
     path = "winogrande"
     name = "winogrande_xl"
 
-    def query(self, doc):
-        return doc["sentence"].split("_")[0].strip()
+    def query(self, doc):  # few-shot display form
+        loc = doc["sentence"].index("_")
+        return doc["sentence"][:loc] + doc["option" + doc["answer"]]
 
     def choices(self, doc):
-        tail = doc["sentence"].split("_")[1]
-        return [doc["option1"] + tail, doc["option2"] + tail]
+        return [" " + doc["sentence"][doc["sentence"].index("_") + 1:].strip()] * 2
 
     def gold(self, doc):
         return int(doc["answer"]) - 1
+
+    def construct_requests(self, doc, ctx):
+        loc = doc["sentence"].index("_")
+        tail = " " + doc["sentence"][loc + 1:].strip()
+        shots = ctx[: len(ctx) - len(self.query(doc))]
+        return [(shots + doc["sentence"][:loc] + opt, tail)
+                for opt in (doc["option1"], doc["option2"])]
 
 
 @register_task("arc_easy")
@@ -194,3 +216,320 @@ class BoolQ(_HFMultipleChoice):
 
     def gold(self, doc):
         return int(doc["label"])
+
+
+def _detok(text: str) -> str:
+    """general_detokenize parity (benchmark/lmeval/utils.py)."""
+    import re
+
+    text = text.replace(" n't", "n't").replace(" )", ")").replace("( ", "(")
+    text = text.replace('" ', '"').replace(' "', '"')
+    text = re.sub(r" (['.,])", r"\1", text)
+    return text
+
+
+# ---------------------------------------------------------------------------
+# LAMBADA (tasks/lambada.py:31-99): ll + greedy-match acc of the final word
+# ---------------------------------------------------------------------------
+
+from .lmeval import Task
+import numpy as _np
+
+
+class _LambadaBase(Task):
+    path: str
+    name = None
+    split = "validation"
+
+    def docs(self):
+        return _hf_docs(self.path, self.name, self.split)
+
+    def fewshot_context(self, doc, num_shot, rng):
+        return doc["text"].rsplit(" ", 1)[0]
+
+    def construct_requests(self, doc, ctx):
+        return [(ctx, " " + doc["text"].rsplit(" ", 1)[1])]
+
+    def process_results(self, doc, results):
+        ll, greedy = results[0]
+        return {"ll": ll, "acc": float(greedy)}
+
+    def aggregate(self, metrics):
+        return {
+            "ppl": float(_np.exp(-_np.mean([m["ll"] for m in metrics]))),
+            "acc": float(_np.mean([m["acc"] for m in metrics])),
+        }
+
+
+@register_task("lambada_standard")
+class LambadaStandard(_LambadaBase):
+    path = "lambada"
+
+
+@register_task("lambada_openai")
+class LambadaOpenAI(_LambadaBase):
+    path = "EleutherAI/lambada_openai"
+    name = "en"
+    split = "test"
+
+
+# ---------------------------------------------------------------------------
+# more hendrycks-style MC tasks (protocol parity with the vendored registry)
+# ---------------------------------------------------------------------------
+
+@register_task("openbookqa")
+class OpenBookQA(_HFMultipleChoice):
+    """tasks/openbookqa.py:55-66: bare question stem, answer choices."""
+
+    path = "openbookqa"
+    name = "main"
+
+    def query(self, doc):
+        return doc["question_stem"]
+
+    def choices(self, doc):
+        return doc["choices"]["text"]
+
+    def gold(self, doc):
+        return ["A", "B", "C", "D"].index(doc["answerKey"].strip())
+
+
+@register_task("sciq")
+class SciQ(_HFMultipleChoice):
+    """tasks/sciq.py:50-68: support passage + Question/Answer, gold last."""
+
+    path = "sciq"
+
+    def query(self, doc):
+        return f"{doc['support']}\nQuestion: {doc['question']}\nAnswer:".strip()
+
+    def choices(self, doc):
+        return [doc["distractor1"], doc["distractor2"], doc["distractor3"],
+                doc["correct_answer"]]
+
+    def gold(self, doc):
+        return 3
+
+
+@register_task("logiqa")
+class LogiQA(_HFMultipleChoice):
+    """tasks/logiqa.py:55-88: Passage/Question/Choices block, answer letter."""
+
+    path = "lucasmccabe/logiqa"
+    split = "validation"
+
+    def query(self, doc):
+        prompt = "Passage: " + doc["context"] + "\n"
+        prompt += "Question: " + doc["query"] + "\nChoices:\n"
+        for letter, option in zip("ABCD", doc["options"]):
+            prompt += f"{letter}. {option}\n"
+        return prompt + "Answer:"
+
+    def choices(self, doc):
+        return doc["options"]
+
+    def gold(self, doc):
+        return int(doc["correct_option"])
+
+
+@register_task("mathqa")
+class MathQA(_HFMultipleChoice):
+    """tasks/mathqa.py:52-68: Question/Answer over regex-split options."""
+
+    path = "math_qa"
+    split = "validation"
+
+    def query(self, doc):
+        return "Question: " + doc["Problem"] + "\nAnswer:"
+
+    def choices(self, doc):
+        import re
+
+        return [c[4:].rstrip(" ,") for c in
+                re.findall(r"[abcd] \) .*?, |e \) .*?$", doc["options"])]
+
+    def gold(self, doc):
+        return ["a", "b", "c", "d", "e"].index(doc["correct"])
+
+
+# ---------------------------------------------------------------------------
+# GLUE / ANLI binary & ternary NLI tasks (tasks/glue.py, tasks/anli.py)
+# ---------------------------------------------------------------------------
+
+class _BinaryLL(_HFMultipleChoice):
+    """Two-continuation classification; gold = label index into options."""
+
+    options: tuple = (" yes", " no")
+
+    def choices(self, doc):
+        return list(self.options)
+
+    def fewshot_context(self, doc, num_shot, rng):
+        return super().fewshot_context(doc, num_shot, rng) if num_shot else self.query(doc)
+
+
+@register_task("sst")
+class SST(_BinaryLL):
+    """glue.py:102-151: positive/negative sentiment."""
+
+    path = "glue"
+    name = "sst2"
+    options = (" negative", " positive")  # label 0=negative, 1=positive
+
+    def query(self, doc):
+        return (f"{_detok(doc['sentence'])}\nQuestion: Is this sentence "
+                "positive or negative?\nAnswer:")
+
+    def gold(self, doc):
+        return int(doc["label"])
+
+
+@register_task("rte")
+class RTE(_BinaryLL):
+    """glue.py:327-375: True(entail)/False."""
+
+    path = "glue"
+    name = "rte"
+    options = (" True", " False")
+
+    def query(self, doc):
+        return f"{doc['sentence1']}\nQuestion: {doc['sentence2']} True or False?\nAnswer:"
+
+    def gold(self, doc):
+        return int(doc["label"])  # 0 entailment -> True
+
+
+@register_task("qnli")
+class QNLI(_BinaryLL):
+    """glue.py:223-272: does the response answer the question? yes/no."""
+
+    path = "glue"
+    name = "qnli"
+
+    def query(self, doc):
+        return (f"{doc['question']}\n{doc['sentence']}\nQuestion: Does this "
+                "response answer the question?\nAnswer:")
+
+    def gold(self, doc):
+        return int(doc["label"])  # 0 entailment -> yes
+
+
+@register_task("wnli")
+class WNLI(_BinaryLL):
+    path = "glue"
+    name = "wnli"
+    options = (" False", " True")  # label 1 = entailment = True
+
+    def query(self, doc):
+        return f"{doc['sentence1']}\nQuestion: {doc['sentence2']} True or False?\nAnswer:"
+
+    def gold(self, doc):
+        return int(doc["label"])
+
+
+@register_task("mrpc")
+class MRPC(_BinaryLL):
+    """glue.py:381-430 (acc + F1)."""
+
+    path = "glue"
+    name = "mrpc"
+    options = (" no", " yes")  # label 1 = equivalent = yes
+
+    def query(self, doc):
+        return ("Sentence 1: {}\nSentence 2: {}\nQuestion: Do both sentences "
+                "mean the same thing?\nAnswer:").format(
+                    _detok(doc["sentence1"]), _detok(doc["sentence2"]))
+
+    def gold(self, doc):
+        return int(doc["label"])
+
+    def process_results(self, doc, results):
+        out = super().process_results(doc, results)
+        lls = [r[0] for r in results]
+        out["pred"] = float(_np.argmax(lls))
+        out["gold_lbl"] = float(self.gold(doc))
+        return out
+
+    def aggregate(self, metrics):
+        acc = float(_np.mean([m["acc"] for m in metrics]))
+        preds = _np.array([m["pred"] for m in metrics])
+        golds = _np.array([m["gold_lbl"] for m in metrics])
+        tp = float(((preds == 1) & (golds == 1)).sum())
+        fp = float(((preds == 1) & (golds == 0)).sum())
+        fn = float(((preds == 0) & (golds == 1)).sum())
+        f1 = 2 * tp / max(2 * tp + fp + fn, 1e-9)
+        return {"acc": acc, "f1": f1}
+
+
+@register_task("qqp")
+class QQP(MRPC):
+    """glue.py:434-488 (acc + F1)."""
+
+    path = "glue"
+    name = "qqp"
+
+    def query(self, doc):
+        return ("Question 1: {}\nQuestion 2: {}\nQuestion: Do both questions "
+                "ask the same thing?\nAnswer:").format(
+                    doc["question1"], doc["question2"])
+
+
+class _TernaryNLI(_HFMultipleChoice):
+    """True/Neither/False NLI (glue.py MNLI:180-201, anli.py:62-85)."""
+
+    options = (" True", " Neither", " False")
+
+    def choices(self, doc):
+        return list(self.options)
+
+    def gold(self, doc):
+        return int(doc["label"])  # 0 entail, 1 neutral, 2 contradiction
+
+
+@register_task("mnli")
+class MNLI(_TernaryNLI):
+    path = "glue"
+    name = "mnli"
+    split = "validation_matched"
+
+    def query(self, doc):
+        hyp = doc["hypothesis"].strip()
+        hyp = hyp + ("" if hyp.endswith(".") else ".")
+        return f"{doc['premise']}\nQuestion: {hyp} True, False or Neither?\nAnswer:"
+
+
+@register_task("mnli_mismatched")
+class MNLIMismatched(MNLI):
+    split = "validation_mismatched"
+
+
+class _ANLIBase(_TernaryNLI):
+    path = "anli"
+    round = 1
+
+    @property
+    def split(self):
+        return f"dev_r{self.round}"
+
+    @split.setter
+    def split(self, v):
+        pass
+
+    def query(self, doc):
+        return (doc["premise"] + "\nQuestion: " + doc["hypothesis"]
+                + " True, False, or Neither?\nAnswer:")
+
+
+@register_task("anli_r1")
+class ANLIRound1(_ANLIBase):
+    round = 1
+
+
+@register_task("anli_r2")
+class ANLIRound2(_ANLIBase):
+    round = 2
+
+
+@register_task("anli_r3")
+class ANLIRound3(_ANLIBase):
+    round = 3
