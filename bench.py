@@ -17,6 +17,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # honor the documented CPU-smoke fallback: the env var alone is too late
+    # here (sitecustomize imports jax with the axon TPU backend at interpreter
+    # start), so force the platform through jax.config like tests/conftest.py
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
