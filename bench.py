@@ -100,7 +100,9 @@ def main():
     params = model.params
 
     batch = 1
-    total = prompt_len + n_decode + 4
+    # cache length: multiple of 128 engages the megakernel's time-blocked
+    # flash-attention phase (ops/block_fused.py)
+    total = -(-(prompt_len + n_decode + 4) // 128) * 128
     cache = init_cache(cfg, batch, total, jnp.int8)  # quantized KV cache
     key = jax.random.PRNGKey(1)
     ids = jax.random.randint(key, (batch, prompt_len), 0, cfg.vocab_size)

@@ -202,6 +202,7 @@ def block_apply(
     if (
         fused and not capture and "mega" in blk and B == 1 and S == 1
         and isinstance(kv_cache, dict)
+        and kv_cache["k"].shape[1] % 128 == 0  # time-blocked flash phase
         and jnp.asarray(cache_index).ndim == 0
     ):
         from ..ops.block_fused import block_decode_mega

@@ -163,10 +163,11 @@ def _kernel(
     xo_ref, krow_ref, vrow_ref, ksrow_ref, vsrow_ref,
     # scratch
     qkv_acc, attn_sc, oacc_sc, xmid_sc, h2_sc, mlp_acc,
+    q_sc, m_sc, l_sc, fa_sc,
     *,
     bits, hidden, q_dim, kv_dim, inter,
     n_heads, n_kv_heads, head_dim, max_len,
-    g_qkv, g_o, g_gu, g_d, nq, no, ni, out_dtype, rms_eps,
+    g_qkv, g_o, g_gu, g_d, nq, no, ni, nt, tb, out_dtype, rms_eps,
 ):
     j = pl.program_id(0)
     vpw = 32 // bits
@@ -188,7 +189,7 @@ def _kernel(
         hp = _perm_row(ht, vpw)
         s, z, ge = _select_sz(qs_ref, qz_ref, j, TKA, g_qkv)
         # chunk the N axis to bound the unpacked f32 transient
-        cn = 2048 if n_qkv % 2048 == 0 else n_qkv
+        cn = 1024 if n_qkv % 1024 == 0 else n_qkv
         for c in range(n_qkv // cn):
             wq = _unpack_planar(qkv_ref[:, c * cn:(c + 1) * cn], bits)
             wd = _dequant_planar(wq, s[:, c * cn:(c + 1) * cn],
@@ -197,10 +198,15 @@ def _kernel(
                 hp, wd, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-    # ---------------- phase 2: j == nq — rope + cache append + attention
+    reps = n_heads // n_kv_heads
+    scale = 1.0 / float(np.sqrt(head_dim))
+
+    # ---------------- phase 2a: j == nq — rope + int8 KV row + flash init
+    # The new token seeds the flash state with its own (dequantized) k/v —
+    # exactly what the cache will hold next step — so history blocks stream
+    # afterwards without ever materializing full [T,·,·] buffers in VMEM.
     @pl.when(j == nq)
-    def _attn():
-        pos = pos_ref[0]
+    def _attn_init():
         cos = cos_ref[:].astype(jnp.float32)
         sin = sin_ref[:].astype(jnp.float32)
         qkv = qkv_acc[:]
@@ -220,68 +226,84 @@ def _kernel(
         ksrow_ref[:] = k_s.reshape(1, -1)
         vsrow_ref[:] = v_s.reshape(1, -1)
 
-        k_all = ck_ref[:].astype(jnp.float32) * ks_ref[:][..., None]  # [T,Hkv,D]
-        v_all = cv_ref[:].astype(jnp.float32) * vs_ref[:][..., None]
-
-        reps = n_heads // n_kv_heads
-        t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1)
-        hist = t_ids < pos  # strictly-past tokens; the new row handled locally
-        scale = 1.0 / float(np.sqrt(head_dim))
-        qg = q.reshape(n_kv_heads, reps, head_dim)
-        outs = []
+        q_sc[:] = q
         for hk in range(n_kv_heads):
-            kh = k_all[:, hk, :]
-            vh = v_all[:, hk, :]
-            s = jax.lax.dot_general(qg[hk], kh, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32) * scale
-            s = jnp.where(hist, s, jnp.finfo(jnp.float32).min)  # [reps, T]
-            # the freshly-written row participates via its exact (dequantized)
-            # value, matching what the cache will hold next step
-            kd = (k_q[hk].astype(jnp.float32) * k_s[hk])
-            vd = (v_q[hk].astype(jnp.float32) * v_s[hk])
-            s_new = (qg[hk] * kd[None, :]).sum(-1, keepdims=True) * scale  # [reps,1]
-            m = jnp.maximum(s.max(axis=-1, keepdims=True), s_new)
-            e = jnp.exp(s - m)
-            e_new = jnp.exp(s_new - m)
-            denom = e.sum(axis=-1, keepdims=True) + e_new
-            o = jax.lax.dot_general(e, vh, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            o = (o + e_new * vd[None, :]) / denom
-            outs.append(o)
-        out = jnp.concatenate(outs, axis=0)  # [n_heads, D]
-        # store per-TK chunks pre-permuted into plane-major order so the
-        # o-phase consumes them directly (static row writes; 1-row reshapes
-        # beyond [1, n] are not Mosaic-legal)
-        flat = out.reshape(1, q_dim)
-        pm = _planar_mat(TKA, vpw)
-        for r in range(q_dim // TKA):
-            attn_sc[r:r + 1, :] = jax.lax.dot_general(
-                flat[:, r * TKA:(r + 1) * TKA], pm, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            rows = slice(hk * reps, (hk + 1) * reps)
+            kd = k_q[hk].astype(jnp.float32) * k_s[hk]
+            vd = v_q[hk].astype(jnp.float32) * v_s[hk]
+            s_new = (q[rows] * kd[None, :]).sum(-1, keepdims=True) * scale
+            m_sc[rows] = jnp.broadcast_to(s_new, (reps, head_dim))
+            l_sc[rows] = jnp.ones((reps, head_dim), jnp.float32)
+            fa_sc[rows] = jnp.broadcast_to(vd[None, :], (reps, head_dim))
 
-    # ---------------- phase 3: j in (nq, nq+no] — o_acc += attn_t @ Wo_t
-    @pl.when((j > nq) & (j <= nq + no))
+    # ---------------- phase 2b: j in (nq, nq+nt] — flash over history blocks
+    # Blocks past the live prefix are skipped (their index maps clamp to the
+    # last live block, so they cost no HBM traffic either).
+    @pl.when((j > nq) & (j <= nq + nt))
+    def _attn_flash():
+        pos = pos_ref[0]
+        t = j - (nq + 1)
+
+        @pl.when(t * tb < pos)
+        def _():
+            k_blk = ck_ref[:].astype(jnp.float32) * ks_ref[:][..., None]  # [TB,Hkv,D]
+            v_blk = cv_ref[:].astype(jnp.float32) * vs_ref[:][..., None]
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (1, tb), 1)
+            hist = t * tb + lanes < pos  # strictly past; new row was seeded
+            for hk in range(n_kv_heads):
+                rows = slice(hk * reps, (hk + 1) * reps)
+                kh = k_blk[:, hk, :]
+                vh = v_blk[:, hk, :]
+                s = jax.lax.dot_general(q_sc[rows], kh, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32) * scale
+                s = jnp.where(hist, s, jnp.finfo(jnp.float32).min)  # [reps, TB]
+                m_old = m_sc[rows][:, :1]
+                m_new = jnp.maximum(m_old, s.max(axis=-1, keepdims=True))
+                corr = jnp.exp(m_old - m_new)
+                p = jnp.exp(s - m_new)
+                pv = jax.lax.dot_general(p, vh, (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                fa_sc[rows] = fa_sc[rows] * corr + pv
+                l_sc[rows] = l_sc[rows] * corr + p.sum(axis=-1, keepdims=True)
+                m_sc[rows] = jnp.broadcast_to(m_new, (reps, head_dim))
+
+    # ---------------- phase 3: j in (nq+nt, nq+nt+no] — o_acc += attn_t @ Wo_t
+    @pl.when((j > nq + nt) & (j <= nq + nt + no))
     def _oproj():
-        kt = j - (nq + 1)
+        kt = j - (nq + nt + 1)
 
         @pl.when(kt == 0)
         def _():
             oacc_sc[:] = jnp.zeros_like(oacc_sc)
+            # finalize flash attention; store per-TKA chunks pre-permuted into
+            # plane-major order (static row writes; 1-row reshapes beyond
+            # [1, n] are not Mosaic-legal)
+            out = fa_sc[:] / l_sc[:]
+            flat = out.reshape(1, q_dim)
+            pm = _planar_mat(TKA, vpw)
+            for r in range(q_dim // TKA):
+                attn_sc[r:r + 1, :] = jax.lax.dot_general(
+                    flat[:, r * TKA:(r + 1) * TKA], pm, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
 
-        # attn_sc rows are already plane-major (phase 2)
+        # attn_sc rows are already plane-major
         ap = jax.lax.dot_general(_onehot_rows(kt, 1, attn_sc.shape[0]), attn_sc[:],
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # [1, TKA]
         s, z, ge = _select_sz(os_ref, oz_ref, kt, TKA, g_o)
-        wq = _unpack_planar(o_ref_w[:], bits)
-        wd = _dequant_planar(wq, s, z, bits, ge, hidden)
-        oacc_sc[:] += jax.lax.dot_general(ap, wd, (((1,), (0,)), ((), ())),
-                                          preferred_element_type=jnp.float32)
+        cn = 1024 if hidden % 1024 == 0 else hidden
+        for c in range(hidden // cn):
+            wq = _unpack_planar(o_ref_w[:, c * cn:(c + 1) * cn], bits)
+            wd = _dequant_planar(wq, s[:, c * cn:(c + 1) * cn],
+                                 z[:, c * cn:(c + 1) * cn], bits, ge, cn)
+            oacc_sc[:, c * cn:(c + 1) * cn] += jax.lax.dot_general(
+                ap, wd, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
-    # ---------------- phase 4: MLP tiles — j in (nq+no, nq+no+ni]
-    @pl.when(j > nq + no)
+    # ---------------- phase 4: MLP tiles — j in (nq+nt+no, nq+nt+no+ni]
+    @pl.when(j > nq + nt + no)
     def _mlp():
-        m = j - (nq + no + 1)
+        m = j - (nq + nt + no + 1)
 
         @pl.when(m == 0)
         def _():
@@ -325,10 +347,14 @@ def _kernel(
 
         ap = _perm_row(act, vpw)
         sd, zd, ged = _select_sz(ds_ref, dz_ref, m, TI, g_d)
-        wd_ = _unpack_planar(d_ref[:], bits)
-        wd_ = _dequant_planar(wd_, sd, zd, bits, ged, hidden)
-        mlp_acc[:] += jax.lax.dot_general(ap, wd_, (((1,), (0,)), ((), ())),
-                                          preferred_element_type=jnp.float32)
+        cn = 1024 if hidden % 1024 == 0 else hidden
+        for c in range(hidden // cn):
+            wd_ = _unpack_planar(d_ref[:, c * cn:(c + 1) * cn], bits)
+            wd_ = _dequant_planar(wd_, sd[:, c * cn:(c + 1) * cn],
+                                  zd[:, c * cn:(c + 1) * cn], bits, ged, cn)
+            mlp_acc[:, c * cn:(c + 1) * cn] += jax.lax.dot_general(
+                ap, wd_, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
         @pl.when(m == ni - 1)
         def _():
@@ -449,8 +475,11 @@ def block_decode_mega(blk, mega, x, cos, sin, cache, pos, cfg, interpret=False):
         return s.w_groupsize if s.w_qtype == "per_group" and s.w_groupsize > 0 else lin.in_features
 
     nq, no, ni = h // TKA, q_dim // TKA, inter // TI
-    grid = nq + 1 + no + ni
     max_len = cache["k"].shape[1]
+    tb = 128
+    assert max_len % tb == 0, "cache length must be a multiple of 128"
+    nt = max_len // tb
+    grid = nq + 1 + nt + no + ni
     n_qkv = q_dim + 2 * kv_dim
     x_row = x.reshape(1, h)
 
@@ -459,13 +488,18 @@ def block_decode_mega(blk, mega, x, cos, sin, cache, pos, cfg, interpret=False):
         n_heads=cfg.num_heads, n_kv_heads=cfg.num_kv_heads,
         head_dim=cfg.head_dim, max_len=max_len,
         g_qkv=grp(qkv), g_o=grp(o_l), g_gu=grp(gu), g_d=grp(dn),
-        nq=nq, no=no, ni=ni, out_dtype=x.dtype, rms_eps=cfg.rms_eps,
+        nq=nq, no=no, ni=ni, nt=nt, tb=tb, out_dtype=x.dtype,
+        rms_eps=cfg.rms_eps,
     )
 
-    mlp0 = nq + no + 1
+    mlp0 = nq + nt + no + 1
     t_qkv = lambda j, p: jnp.minimum(j, nq - 1)
-    t_o = lambda j, p: jnp.clip(j - (nq + 1), 0, no - 1)
+    t_o = lambda j, p: jnp.clip(j - (nq + nt + 1), 0, no - 1)
     t_mlp = lambda j, p: jnp.clip(j - mlp0, 0, ni - 1)
+    # live-prefix clamp: history blocks beyond pos are never fetched (the
+    # index pins at the last live block, so repeats cost no copies)
+    t_kv = lambda j, p: jnp.minimum(jnp.clip(j - (nq + 1), 0, nt - 1),
+                                    p[0] // tb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -480,10 +514,12 @@ def block_decode_mega(blk, mega, x, cos, sin, cache, pos, cfg, interpret=False):
             _scale_spec(n_qkv, TKA, grp(qkv), t_qkv),
             pl.BlockSpec((1, cfg.head_dim), lambda j, p: (0, 0)),         # cos
             pl.BlockSpec((1, cfg.head_dim), lambda j, p: (0, 0)),         # sin
-            pl.BlockSpec(cache["k"].shape[1:], lambda j, p: (0, 0, 0)),   # ck
-            pl.BlockSpec(cache["v"].shape[1:], lambda j, p: (0, 0, 0)),   # cv
-            pl.BlockSpec(cache["k_scale"].shape[1:], lambda j, p: (0, 0)),
-            pl.BlockSpec(cache["v_scale"].shape[1:], lambda j, p: (0, 0)),
+            pl.BlockSpec((tb,) + cache["k"].shape[2:],
+                         lambda j, p: (t_kv(j, p), 0, 0)),                # ck
+            pl.BlockSpec((tb,) + cache["v"].shape[2:],
+                         lambda j, p: (t_kv(j, p), 0, 0)),                # cv
+            pl.BlockSpec((tb, cfg.num_kv_heads), lambda j, p: (t_kv(j, p), 0)),
+            pl.BlockSpec((tb, cfg.num_kv_heads), lambda j, p: (t_kv(j, p), 0)),
             pl.BlockSpec((TKA // vpw, h), lambda j, p: (t_o(j, p), 0)),   # o packed
             _scale_spec(h, TKA, grp(o_l), t_o),
             _scale_spec(h, TKA, grp(o_l), t_o),
@@ -514,6 +550,10 @@ def block_decode_mega(blk, mega, x, cos, sin, cache, pos, cfg, interpret=False):
             pltpu.VMEM((1, h), jnp.float32),            # x_mid
             pltpu.VMEM((1, h), jnp.float32),            # h2 (planar)
             pltpu.VMEM((1, h), jnp.float32),            # mlp acc
+            pltpu.VMEM((cfg.num_heads, cfg.head_dim), jnp.float32),  # q
+            pltpu.VMEM((cfg.num_heads, cfg.head_dim), jnp.float32),  # flash m
+            pltpu.VMEM((cfg.num_heads, cfg.head_dim), jnp.float32),  # flash l
+            pltpu.VMEM((cfg.num_heads, cfg.head_dim), jnp.float32),  # flash acc
         ],
     )
 

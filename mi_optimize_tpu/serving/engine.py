@@ -130,6 +130,10 @@ def generate(
     input_ids = np.asarray(input_ids)
     B, S = input_ids.shape
     total = max_len or min(cfg.max_seq_len, S + max_new_tokens)
+    if total % 128 and total + (-total) % 128 <= cfg.max_seq_len:
+        # round the cache up to a multiple of 128: engages the decode
+        # megakernel's time-blocked flash attention (ops/block_fused.py)
+        total += (-total) % 128
     cache = init_cache(cfg, B, total, cache_dtype)
     logits, cache = prefill(params, cfg, jnp.asarray(input_ids), cache, fused)
     key = jax.random.PRNGKey(seed)

@@ -76,7 +76,7 @@ def test_block_mega_matches_reference(bits, groupsize):
     assert "mega" in blk, "megakernel should be enabled for this config"
     blk_ref = params["layers"][0]
 
-    T = 32
+    T = 128  # megakernel flash phase needs a 128-multiple cache
     pos = 7
     key = jax.random.PRNGKey(3)
     x = jax.random.normal(key, (1, 1, cfg.hidden_size), jnp.float32)
@@ -125,7 +125,7 @@ def test_generation_with_megakernel_matches_unfused():
     S = prompt.shape[1]
 
     def run(params_, fused):
-        cache = init_cache(cfg, 1, 32, jnp.int8)
+        cache = init_cache(cfg, 1, 128, jnp.int8)
         logits, cache = prefill(params_, cfg, prompt, cache, fused)
         toks = []
         tok = jnp.argmax(logits, -1)[:, None]
@@ -148,3 +148,38 @@ def test_mega_not_enabled_for_unaligned_shapes():
     cache = init_cache(cfg, 1, 16, jnp.int8)
     logits, cache = prefill(model.params, cfg, jnp.asarray([[1, 2, 3]]), cache, True)
     assert logits.shape == (1, cfg.vocab_size)
+
+
+@pytest.mark.parametrize("pos", [0, 127, 130, 255])
+def test_block_mega_flash_multiblock(pos):
+    """Flash phase across multiple 128-token history blocks (incl. the
+    live-prefix clamp skipping dead blocks, and pos exactly on a boundary)."""
+    cfg = _mk_cfg(max_seq_len=512)
+    params = _mk_params(cfg)
+    model = fuse_for_serving(Model(config=cfg, params=params, family="llama"))
+    blk = model.params["layers"][0]
+    blk_ref = params["layers"][0]
+
+    T = 256
+    key = jax.random.PRNGKey(pos + 1)
+    x = jax.random.normal(key, (1, 1, cfg.hidden_size), jnp.float32)
+    cache = {
+        "k": jax.random.randint(key, (1, T, cfg.num_kv_heads, cfg.head_dim),
+                                -90, 90, jnp.int8),
+        "v": jax.random.randint(key, (1, T, cfg.num_kv_heads, cfg.head_dim),
+                                -90, 90, jnp.int8),
+        "k_scale": jnp.abs(jax.random.normal(
+            key, (1, T, cfg.num_kv_heads), jnp.float32)) * 0.02 + 1e-3,
+        "v_scale": jnp.abs(jax.random.normal(
+            key, (1, T, cfg.num_kv_heads), jnp.float32)) * 0.02 + 1e-3,
+    }
+    cos, sin = llama.rope_tables(cfg, jnp.asarray(pos)[None])
+    mask = (jnp.arange(T)[None, :] <= pos)[None, :]
+    y_ref, _, _ = llama.block_apply(
+        blk_ref, x, cos, sin, mask, cfg, kv_cache=cache,
+        cache_index=jnp.asarray(pos), fused=False)
+    y_mega, _, _ = llama.block_apply(
+        blk, x, cos, sin, mask, cfg, kv_cache=cache,
+        cache_index=jnp.asarray(pos), fused=True)
+    np.testing.assert_allclose(np.asarray(y_mega), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
