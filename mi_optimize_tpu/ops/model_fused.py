@@ -1,0 +1,454 @@
+"""Whole-model decode megakernel: ALL decoder layers in ONE Pallas launch.
+
+ops/block_fused.py cut per-token launches from ~4/layer to 1/layer (24 ->
+~100 tok/s measured). The remaining fixed cost is 32 kernel launches +
+inter-kernel XLA glue per token. Here the per-layer weights are stacked along
+a leading [L, ...] axis and the grid becomes L x steps-per-layer: the layer
+index is `j // SPL`, every BlockSpec gains a leading layer coordinate, and
+the residual stream lives in VMEM scratch across all layers — one
+`pallas_call` per decoded token (plus the lm_head).
+
+Phase structure per layer (identical math to block_fused._kernel, which
+remains the reference implementation for tests and the per-layer fallback):
+
+    jl in [0, nq)            K-tiled  h = rmsnorm(x); qkv_acc += h_t @ Wqkv_t
+    jl == nq                 rope -> int8 KV row out -> flash-state init
+    jl in (nq, nq+nt]        flash attention over [tb]-token history blocks
+                             (live-prefix clamp: dead blocks are never fetched)
+    jl in (nq+nt, +no]       K-tiled o_acc += attn_t @ Wo_t (finalize at kt==0)
+    jl in (nq+nt+no, +ni]    x_mid = x + o_acc; tiled SwiGLU; last: x updated
+
+The KV caches are consumed read-only as [L, T, H, D] stacks; the kernel
+emits [L, H, D] new-row stacks which the caller scatters in one
+dynamic_update_slice per field. Scope: B=1 S=1 decode, int8 cache, packed
+int4/int8 per-group/per-channel weights, homogeneous layer shapes.
+
+Role in the reference's terms: this kernel IS the serving engine's decoder —
+what MI-optimize delegates to fastllm's C++ runtime via .flm export
+(/root/reference/examples/llama/llama2_to_flm.py), built TPU-native instead.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .block_fused import (
+    CH,
+    TI,
+    TKA,
+    _dequant_planar,
+    _onehot_rows,
+    _planar_mat,
+    _perm_row,
+    _rope_rows,
+    _scale_spec,
+    _select_sz,
+    _unpack_planar,
+    block_mega_supported,
+    prepare_block,
+)
+
+
+def _kernel(
+    # scalar prefetch
+    pos_ref,
+    # inputs (stacked along L where per-layer)
+    x_ref, n1_ref,
+    qkv_ref, qs_ref, qz_ref,
+    cos_ref, sin_ref,
+    ck_ref, cv_ref, ks_ref, vs_ref,
+    o_ref_w, os_ref, oz_ref,
+    n2_ref,
+    g_ref, u_ref, gus_ref, guz_ref,
+    d_ref, ds_ref, dz_ref,
+    # outputs
+    xo_ref, krow_ref, vrow_ref, ksrow_ref, vsrow_ref,
+    # scratch
+    x_sc, qkv_acc, attn_sc, oacc_sc, xmid_sc, h2_sc, mlp_acc,
+    q_sc, m_sc, l_sc, fa_sc,
+    *,
+    bits, hidden, q_dim, kv_dim, inter,
+    n_heads, n_kv_heads, head_dim,
+    g_qkv, g_o, g_gu, g_d, nq, no, ni, nt, tb, spl, n_layers,
+    out_dtype, rms_eps,
+):
+    j = pl.program_id(0)
+    jl = j % spl          # step within the current layer
+    vpw = 32 // bits
+    n_qkv = q_dim + 2 * kv_dim
+    reps = n_heads // n_kv_heads
+    scale = 1.0 / float(np.sqrt(head_dim))
+
+    # ---------------- residual stream init (once per token)
+    @pl.when(j == 0)
+    def _():
+        x_sc[:] = x_ref[:].astype(jnp.float32)
+
+    # ---------------- phase 1: qkv_acc += h_tile @ Wqkv_tile
+    @pl.when(jl < nq)
+    def _qkv():
+        @pl.when(jl == 0)
+        def _():
+            qkv_acc[:] = jnp.zeros_like(qkv_acc)
+
+        xf = x_sc[:]
+        rstd = jax.lax.rsqrt(jnp.mean(xf * xf) + rms_eps)
+        # tile jl of x / norm weights via row-fold + one-hot (no lane slicing)
+        xr = xf.reshape(hidden // TKA, TKA)
+        nr = n1_ref[:].reshape(hidden // TKA, TKA)
+        oh = _onehot_rows(jl, 1, hidden // TKA)
+        xt = jax.lax.dot_general(oh, xr, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        n1t = jax.lax.dot_general(oh, nr, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        ht = (xt * rstd).astype(out_dtype)
+        ht = (ht * n1t.astype(out_dtype)).astype(jnp.float32)   # [1, TKA]
+        hp = _perm_row(ht, vpw)
+        s, z, ge = _select_sz(qs_ref[:][0], qz_ref[:][0], jl, TKA, g_qkv)
+        cn = 1024 if n_qkv % 1024 == 0 else n_qkv
+        for c in range(n_qkv // cn):
+            wq = _unpack_planar(qkv_ref[:][0][:, c * cn:(c + 1) * cn], bits)
+            wd = _dequant_planar(wq, s[:, c * cn:(c + 1) * cn],
+                                 z[:, c * cn:(c + 1) * cn], bits, ge, cn)
+            qkv_acc[:, c * cn:(c + 1) * cn] += jax.lax.dot_general(
+                hp, wd, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    # ---------------- phase 2a: rope + int8 KV row + flash init
+    @pl.when(jl == nq)
+    def _attn_init():
+        cos = cos_ref[:].astype(jnp.float32)
+        sin = sin_ref[:].astype(jnp.float32)
+        qkv = qkv_acc[:]
+        q = _rope_rows(qkv[:, :q_dim].reshape(n_heads, head_dim), cos, sin)
+        k = _rope_rows(qkv[:, q_dim:q_dim + kv_dim].reshape(n_kv_heads, head_dim),
+                       cos, sin)
+        v = qkv[:, q_dim + kv_dim:].reshape(n_kv_heads, head_dim)
+
+        k_amax = jnp.clip(jnp.abs(k).max(axis=-1, keepdims=True), 1e-8, None)
+        v_amax = jnp.clip(jnp.abs(v).max(axis=-1, keepdims=True), 1e-8, None)
+        k_s = k_amax / 127.0
+        v_s = v_amax / 127.0
+        k_q = jnp.clip(jnp.round(k / k_s), -127, 127).astype(jnp.int8)
+        v_q = jnp.clip(jnp.round(v / v_s), -127, 127).astype(jnp.int8)
+        krow_ref[:] = k_q[None]
+        vrow_ref[:] = v_q[None]
+        ksrow_ref[:] = k_s.reshape(1, -1)
+        vsrow_ref[:] = v_s.reshape(1, -1)
+
+        q_sc[:] = q
+        for hk in range(n_kv_heads):
+            rows = slice(hk * reps, (hk + 1) * reps)
+            kd = k_q[hk].astype(jnp.float32) * k_s[hk]
+            vd = v_q[hk].astype(jnp.float32) * v_s[hk]
+            s_new = (q[rows] * kd[None, :]).sum(-1, keepdims=True) * scale
+            m_sc[rows] = jnp.broadcast_to(s_new, (reps, head_dim))
+            l_sc[rows] = jnp.ones((reps, head_dim), jnp.float32)
+            fa_sc[rows] = jnp.broadcast_to(vd[None, :], (reps, head_dim))
+
+    # ---------------- phase 2b: flash over history blocks
+    @pl.when((jl > nq) & (jl <= nq + nt))
+    def _attn_flash():
+        pos = pos_ref[0]
+        t = jl - (nq + 1)
+
+        @pl.when(t * tb < pos)
+        def _():
+            k_blk = ck_ref[:][0].astype(jnp.float32) * ks_ref[:][0][..., None]
+            v_blk = cv_ref[:][0].astype(jnp.float32) * vs_ref[:][0][..., None]
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (1, tb), 1)
+            hist = t * tb + lanes < pos
+            for hk in range(n_kv_heads):
+                rows = slice(hk * reps, (hk + 1) * reps)
+                kh = k_blk[:, hk, :]
+                vh = v_blk[:, hk, :]
+                s = jax.lax.dot_general(q_sc[rows], kh, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32) * scale
+                s = jnp.where(hist, s, jnp.finfo(jnp.float32).min)
+                m_old = m_sc[rows][:, :1]
+                m_new = jnp.maximum(m_old, s.max(axis=-1, keepdims=True))
+                corr = jnp.exp(m_old - m_new)
+                p = jnp.exp(s - m_new)
+                pv = jax.lax.dot_general(p, vh, (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                fa_sc[rows] = fa_sc[rows] * corr + pv
+                l_sc[rows] = l_sc[rows] * corr + p.sum(axis=-1, keepdims=True)
+                m_sc[rows] = jnp.broadcast_to(m_new, (reps, head_dim))
+
+    # ---------------- phase 3: o_acc += attn_t @ Wo_t
+    @pl.when((jl > nq + nt) & (jl <= nq + nt + no))
+    def _oproj():
+        kt = jl - (nq + nt + 1)
+
+        @pl.when(kt == 0)
+        def _():
+            oacc_sc[:] = jnp.zeros_like(oacc_sc)
+            out = fa_sc[:] / l_sc[:]
+            flat = out.reshape(1, q_dim)
+            pm = _planar_mat(TKA, vpw)
+            for r in range(q_dim // TKA):
+                attn_sc[r:r + 1, :] = jax.lax.dot_general(
+                    flat[:, r * TKA:(r + 1) * TKA], pm, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+        ap = jax.lax.dot_general(_onehot_rows(kt, 1, attn_sc.shape[0]), attn_sc[:],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        s, z, ge = _select_sz(os_ref[:][0], oz_ref[:][0], kt, TKA, g_o)
+        cn = 1024 if hidden % 1024 == 0 else hidden
+        for c in range(hidden // cn):
+            wq = _unpack_planar(o_ref_w[:][0][:, c * cn:(c + 1) * cn], bits)
+            wd = _dequant_planar(wq, s[:, c * cn:(c + 1) * cn],
+                                 z[:, c * cn:(c + 1) * cn], bits, ge, cn)
+            oacc_sc[:, c * cn:(c + 1) * cn] += jax.lax.dot_general(
+                ap, wd, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    # ---------------- phase 4: MLP tiles; last step updates the residual
+    @pl.when(jl > nq + nt + no)
+    def _mlp():
+        m = jl - (nq + nt + no + 1)
+
+        @pl.when(m == 0)
+        def _():
+            xmid = x_sc[:] + oacc_sc[:]
+            xmid_sc[:] = xmid
+            rstd2 = jax.lax.rsqrt(jnp.mean(xmid * xmid) + rms_eps)
+            h2 = (xmid * rstd2).astype(out_dtype)
+            h2 = (h2 * n2_ref[:].reshape(1, hidden).astype(out_dtype)).astype(jnp.float32)
+            pm = _planar_mat(CH, vpw)
+            for r in range(hidden // CH):
+                h2_sc[:, r * CH:(r + 1) * CH] = jax.lax.dot_general(
+                    h2[:, r * CH:(r + 1) * CH], pm, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            mlp_acc[:] = jnp.zeros_like(mlp_acc)
+
+        ngh = max(hidden // g_gu, 1)
+        g_eff = min(g_gu, CH)
+        ngc = max(CH // g_gu, 1)
+        chw = CH // vpw
+        gate = jnp.zeros((1, TI), jnp.float32)
+        up = jnp.zeros((1, TI), jnp.float32)
+        for r in range(hidden // CH):
+            hp_r = h2_sc[:, r * CH:(r + 1) * CH]
+            rs = (r * CH) // g_gu
+            wg = _unpack_planar(g_ref[:][0][r * chw:(r + 1) * chw, :], bits)
+            wg = _dequant_planar(wg, gus_ref[:][0][rs:rs + ngc, :],
+                                 guz_ref[:][0][rs:rs + ngc, :], bits, g_eff, TI)
+            gate += jax.lax.dot_general(hp_r, wg, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            wu = _unpack_planar(u_ref[:][0][r * chw:(r + 1) * chw, :], bits)
+            wu = _dequant_planar(wu, gus_ref[:][0][ngh + rs:ngh + rs + ngc, :],
+                                 guz_ref[:][0][ngh + rs:ngh + rs + ngc, :],
+                                 bits, g_eff, TI)
+            up += jax.lax.dot_general(hp_r, wu, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        act = gate * (1.0 / (1.0 + jnp.exp(-gate))) * up
+
+        ap = _perm_row(act, vpw)
+        sd, zd, ged = _select_sz(ds_ref[:][0], dz_ref[:][0], m, TI, g_d)
+        cn = 1024 if hidden % 1024 == 0 else hidden
+        for c in range(hidden // cn):
+            wd_ = _unpack_planar(d_ref[:][0][:, c * cn:(c + 1) * cn], bits)
+            wd_ = _dequant_planar(wd_, sd[:, c * cn:(c + 1) * cn],
+                                  zd[:, c * cn:(c + 1) * cn], bits, ged, cn)
+            mlp_acc[:, c * cn:(c + 1) * cn] += jax.lax.dot_general(
+                ap, wd_, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        @pl.when(m == ni - 1)
+        def _():
+            x_new = xmid_sc[:] + mlp_acc[:]
+            x_sc[:] = x_new
+
+            @pl.when(j == spl * n_layers - 1)
+            def _():
+                xo_ref[:] = x_new.astype(xo_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# preparation / wrapper
+# ---------------------------------------------------------------------------
+
+def stack_decode_params(model) -> Dict[str, Any]:
+    """Stack per-layer serving params (fuse_for_serving output with
+    blk["mega"] prepared) into [L, ...] arrays for the whole-model kernel.
+
+    Homogeneous layer shapes/specs required (true for the llama family)."""
+    layers = model.params["layers"]
+    if not layers or any("mega" not in b for b in layers):
+        return None
+    l0 = layers[0]
+    specs = {b["qkv_proj"].spec for b in layers} | {b["o_proj"].spec for b in layers}
+    if len({b["qkv_proj"].spec.wbit for b in layers}) != 1:
+        return None
+
+    def stk(fn):
+        return jnp.stack([fn(b) for b in layers])
+
+    try:
+        return {
+            "n1": stk(lambda b: b["input_norm"]),
+            "n2": stk(lambda b: b["post_norm"]),
+            "qkv": stk(lambda b: b["qkv_proj"].packed),
+            "qs": stk(lambda b: b["mega"]["qs"]),
+            "qz": stk(lambda b: b["mega"]["qz"]),
+            "o": stk(lambda b: b["o_proj"].packed),
+            "os": stk(lambda b: b["mega"]["os"]),
+            "oz": stk(lambda b: b["mega"]["oz"]),
+            "gu": stk(lambda b: b["gateup_proj"].packed),
+            "gus": stk(lambda b: b["mega"]["gus"]),
+            "guz": stk(lambda b: b["mega"]["guz"]),
+            "d": stk(lambda b: b["down_proj"].packed),
+            "ds": stk(lambda b: b["mega"]["ds"]),
+            "dz": stk(lambda b: b["mega"]["dz"]),
+        }
+    except (KeyError, TypeError):
+        return None
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "meta", "interpret"))
+def model_decode_mega(stack, x, cos, sin, cache, pos, cfg, meta, interpret=False):
+    """All layers, one Pallas launch. x [1,1,H] -> (x_out [1,1,H], kv rows).
+
+    cache: stacked dict {"k": [L,T,Hkv,D] int8, "v": ..., "k_scale": [L,T,Hkv],
+    "v_scale": ...}. Returns (x_out, krows [L,Hkv,D], vrows, ksr [L,Hkv], vsr);
+    the caller scatters the rows (one dynamic_update_slice per field).
+    meta: hashable dict-free tuple (bits, g_qkv, g_o, g_gu, g_d).
+    """
+    bits, g_qkv, g_o, g_gu, g_d = meta
+    h = cfg.hidden_size
+    q_dim = cfg.num_heads * cfg.head_dim
+    kv_dim = cfg.num_kv_heads * cfg.head_dim
+    inter = cfg.intermediate_size
+    vpw = 32 // bits
+    L = cfg.num_layers
+
+    nq, no, ni = h // TKA, q_dim // TKA, inter // TI
+    max_len = cache["k"].shape[1]
+    tb = 128
+    assert max_len % tb == 0
+    nt = max_len // tb
+    spl = nq + 1 + nt + no + ni
+    grid = L * spl
+
+    x_row = x.reshape(1, h)
+
+    kern = functools.partial(
+        _kernel, bits=bits, hidden=h, q_dim=q_dim, kv_dim=kv_dim, inter=inter,
+        n_heads=cfg.num_heads, n_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        g_qkv=g_qkv, g_o=g_o, g_gu=g_gu, g_d=g_d,
+        nq=nq, no=no, ni=ni, nt=nt, tb=tb, spl=spl, n_layers=L,
+        out_dtype=x.dtype, rms_eps=cfg.rms_eps,
+    )
+
+    lyr = lambda j: j // spl
+    t_qkv = lambda j, p: jnp.minimum(j % spl, nq - 1)
+    t_o = lambda j, p: jnp.clip(j % spl - (nq + nt + 1), 0, no - 1)
+    t_mlp = lambda j, p: jnp.clip(j % spl - (nq + nt + no + 1), 0, ni - 1)
+    t_kv = lambda j, p: jnp.minimum(jnp.clip(j % spl - (nq + 1), 0, nt - 1),
+                                    p[0] // tb)
+
+    def sspec(arr, tk, g, tile_of):
+        n = max(tk // g, 1)
+        if n >= 8:
+            return pl.BlockSpec((1, n, arr.shape[2]),
+                                lambda j, p: (lyr(j), tile_of(j, p), 0))
+        return pl.BlockSpec(
+            (1, 8, arr.shape[2]),
+            lambda j, p: (lyr(j), ((tile_of(j, p) * tk) // g) // 8, 0))
+
+    n_qkv = q_dim + 2 * kv_dim
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, h), lambda j, p: (0, 0)),                     # x
+            pl.BlockSpec((1, h), lambda j, p: (lyr(j), 0)),                # n1
+            pl.BlockSpec((1, TKA // vpw, n_qkv),
+                         lambda j, p: (lyr(j), t_qkv(j, p), 0)),           # qkv
+            sspec(stack["qs"], TKA, g_qkv, t_qkv),
+            sspec(stack["qz"], TKA, g_qkv, t_qkv),
+            pl.BlockSpec((1, cfg.head_dim), lambda j, p: (0, 0)),          # cos
+            pl.BlockSpec((1, cfg.head_dim), lambda j, p: (0, 0)),          # sin
+            pl.BlockSpec((1, tb, cfg.num_kv_heads, cfg.head_dim),
+                         lambda j, p: (lyr(j), t_kv(j, p), 0, 0)),         # ck
+            pl.BlockSpec((1, tb, cfg.num_kv_heads, cfg.head_dim),
+                         lambda j, p: (lyr(j), t_kv(j, p), 0, 0)),         # cv
+            pl.BlockSpec((1, tb, cfg.num_kv_heads),
+                         lambda j, p: (lyr(j), t_kv(j, p), 0)),
+            pl.BlockSpec((1, tb, cfg.num_kv_heads),
+                         lambda j, p: (lyr(j), t_kv(j, p), 0)),
+            pl.BlockSpec((1, TKA // vpw, h),
+                         lambda j, p: (lyr(j), t_o(j, p), 0)),             # o
+            sspec(stack["os"], TKA, g_o, t_o),
+            sspec(stack["oz"], TKA, g_o, t_o),
+            pl.BlockSpec((1, h), lambda j, p: (lyr(j), 0)),                # n2
+            pl.BlockSpec((1, h // vpw, TI),
+                         lambda j, p: (lyr(j), 0, t_mlp(j, p))),           # gate
+            pl.BlockSpec((1, h // vpw, TI),
+                         lambda j, p: (lyr(j), 0, ni + t_mlp(j, p))),      # up
+            pl.BlockSpec((1, stack["gus"].shape[1], TI),
+                         lambda j, p: (lyr(j), 0, t_mlp(j, p))),
+            pl.BlockSpec((1, stack["guz"].shape[1], TI),
+                         lambda j, p: (lyr(j), 0, t_mlp(j, p))),
+            pl.BlockSpec((1, TI // vpw, h),
+                         lambda j, p: (lyr(j), t_mlp(j, p), 0)),           # down
+            sspec(stack["ds"], TI, g_d, t_mlp),
+            sspec(stack["dz"], TI, g_d, t_mlp),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h), lambda j, p: (0, 0)),                     # x_out
+            pl.BlockSpec((1, cfg.num_kv_heads, cfg.head_dim),
+                         lambda j, p: (lyr(j), 0, 0)),
+            pl.BlockSpec((1, cfg.num_kv_heads, cfg.head_dim),
+                         lambda j, p: (lyr(j), 0, 0)),
+            pl.BlockSpec((1, cfg.num_kv_heads), lambda j, p: (lyr(j), 0)),
+            pl.BlockSpec((1, cfg.num_kv_heads), lambda j, p: (lyr(j), 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, h), jnp.float32),             # residual stream
+            pltpu.VMEM((1, n_qkv), jnp.float32),
+            pltpu.VMEM((q_dim // TKA, TKA), jnp.float32),
+            pltpu.VMEM((1, h), jnp.float32),
+            pltpu.VMEM((1, h), jnp.float32),
+            pltpu.VMEM((1, h), jnp.float32),
+            pltpu.VMEM((1, h), jnp.float32),
+            pltpu.VMEM((cfg.num_heads, cfg.head_dim), jnp.float32),
+            pltpu.VMEM((cfg.num_heads, cfg.head_dim), jnp.float32),
+            pltpu.VMEM((cfg.num_heads, cfg.head_dim), jnp.float32),
+            pltpu.VMEM((cfg.num_heads, cfg.head_dim), jnp.float32),
+        ],
+    )
+
+    pos_arr = jnp.reshape(pos, (1,)).astype(jnp.int32)
+    x_out, krows, vrows, ksr, vsr = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, h), x.dtype),
+            jax.ShapeDtypeStruct((L, cfg.num_kv_heads, cfg.head_dim), jnp.int8),
+            jax.ShapeDtypeStruct((L, cfg.num_kv_heads, cfg.head_dim), jnp.int8),
+            jax.ShapeDtypeStruct((L, cfg.num_kv_heads), jnp.float32),
+            jax.ShapeDtypeStruct((L, cfg.num_kv_heads), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        pos_arr,
+        x_row, stack["n1"],
+        stack["qkv"], stack["qs"], stack["qz"],
+        cos.reshape(1, cfg.head_dim), sin.reshape(1, cfg.head_dim),
+        cache["k"], cache["v"], cache["k_scale"], cache["v_scale"],
+        stack["o"], stack["os"], stack["oz"],
+        stack["n2"],
+        stack["gu"], stack["gu"], stack["gus"], stack["guz"],
+        stack["d"], stack["ds"], stack["dz"],
+    )
+    return x_out.reshape(x.shape), krows, vrows, ksr, vsr

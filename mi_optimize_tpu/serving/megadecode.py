@@ -1,0 +1,104 @@
+"""Model-level decode: the whole decoder stack as ONE kernel per token.
+
+Builds on ops/model_fused.py. The serving flow is:
+
+    model = fuse_for_serving(model)            # per-layer megakernel prep
+    stack, meta = stack_serving(model)         # [L, ...] weight stacks
+    cache = init_cache_stacked(cfg, max_len)   # [L, T, Hkv, D] int8 + scales
+    prefill (per-layer path) -> stack_cache
+    decode_loop_model(...)                     # scan: 1 pallas call / token
+
+Falls back transparently (returns None from stack_serving) when any block
+fails the megakernel contract; callers then use serving.engine.decode_loop.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import llama
+from ..models.model import Model
+
+
+def _grp(lin):
+    s = lin.spec
+    return s.w_groupsize if s.w_qtype == "per_group" and s.w_groupsize > 0 else lin.in_features
+
+
+def stack_serving(model: Model):
+    """(stack dict, meta tuple) for the whole-model kernel, or None."""
+    from ..ops.model_fused import stack_decode_params
+
+    stack = stack_decode_params(model)
+    if stack is None:
+        return None
+    b0 = model.params["layers"][0]
+    meta = (b0["qkv_proj"].spec.wbit, _grp(b0["qkv_proj"]), _grp(b0["o_proj"]),
+            _grp(b0["gateup_proj"]), _grp(b0["down_proj"]))
+    # homogeneity check: every layer must share the meta
+    for b in model.params["layers"][1:]:
+        if (b["qkv_proj"].spec.wbit, _grp(b["qkv_proj"]), _grp(b["o_proj"]),
+                _grp(b["gateup_proj"]), _grp(b["down_proj"])) != meta:
+            return None
+    return stack, meta
+
+
+def init_cache_stacked(cfg, max_len: int):
+    """Stacked int8 KV cache: [L, T, Hkv, D] values + [L, T, Hkv] scales."""
+    shape = (cfg.num_layers, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, jnp.int8),
+        "v": jnp.zeros(shape, jnp.int8),
+        "k_scale": jnp.zeros(shape[:3], jnp.float32),
+        "v_scale": jnp.zeros(shape[:3], jnp.float32),
+    }
+
+
+def stack_cache(cache_list):
+    """Per-layer cache list (engine.init_cache dtype=int8, batch=1) -> stacked."""
+    return {
+        f: jnp.stack([c[f][0] for c in cache_list])
+        for f in ("k", "v", "k_scale", "v_scale")
+    }
+
+
+def _model_step(params, stack, meta, cfg, tok, cache, pos, interpret):
+    from ..ops.model_fused import model_decode_mega
+
+    x = llama.embed(params, tok)  # [1, 1, h]
+    cos, sin = llama.rope_tables(cfg, pos[None])
+    x, krows, vrows, ksr, vsr = model_decode_mega(
+        stack, x, cos.reshape(-1)[-cfg.head_dim:], sin.reshape(-1)[-cfg.head_dim:],
+        cache, pos, cfg, meta, interpret=interpret)
+    krows, vrows, ksr, vsr = jax.lax.optimization_barrier((krows, vrows, ksr, vsr))
+    upd = lambda buf, new: jax.lax.dynamic_update_slice(
+        buf, new[:, None].astype(buf.dtype), (0, pos) + (0,) * (buf.ndim - 2))
+    cache = {
+        "k": upd(cache["k"], krows),
+        "v": upd(cache["v"], vrows),
+        "k_scale": upd(cache["k_scale"], ksr),
+        "v_scale": upd(cache["v_scale"], vsr),
+    }
+    h = llama.rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = llama.unembed(params, cfg, h, fused=not interpret)[:, 0]
+    return logits, cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "meta", "n", "interpret"))
+def decode_loop_model(params, stack, meta, cfg, token, cache, pos0, n,
+                      interpret=False):
+    """Greedy-decode n tokens; ONE whole-model pallas call per token."""
+
+    def step(carry, _):
+        tok, cache, pos = carry
+        logits, cache = _model_step(params, stack, meta, cfg, tok, cache, pos,
+                                    interpret)
+        nt = jnp.argmax(logits, -1).astype(tok.dtype)[:, None]
+        return (nt, cache, pos + 1), nt[:, 0]
+
+    (tok, cache, pos), toks = jax.lax.scan(step, (token, cache, pos0), None,
+                                           length=n)
+    return jnp.swapaxes(toks, 0, 1), cache
