@@ -111,12 +111,26 @@ def main():
     tok = jnp.argmax(logits, -1)[:, None]
     pos0 = jnp.asarray(prompt_len)
 
+    # whole-model decode kernel (ONE pallas launch per token) when the model
+    # satisfies its contract; per-layer megakernel loop otherwise
+    from mi_optimize_tpu.serving.megadecode import (
+        decode_loop_model, stack_cache, stack_serving)
+
+    st = stack_serving(model) if on_tpu else None
+    if st is not None:
+        stack, meta = st
+        scache = stack_cache(cache)
+        run = lambda: decode_loop_model(params, stack, meta, cfg, tok, scache,
+                                        pos0, n_decode)[0]
+    else:
+        run = lambda: decode_loop(params, cfg, tok, cache, pos0, n_decode, True)[0]
+
     # compile + warm (scalar pull: on the remote-tunnel runtime block_until_ready
     # has been observed to return before completion for large programs)
-    toks, cache2 = decode_loop(params, cfg, tok, cache, pos0, n_decode, True)
+    toks = run()
     _ = int(toks[0, -1])
     t0 = time.perf_counter()
-    toks, _cache = decode_loop(params, cfg, tok, cache, pos0, n_decode, True)
+    toks = run()
     _ = int(toks[0, -1])
     dt = time.perf_counter() - t0
     toks_per_s = n_decode * batch / dt

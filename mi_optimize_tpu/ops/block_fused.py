@@ -47,9 +47,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TKA = 256  # streamed contraction tile (hidden axis) for the qkv / o phases
+TKA = 512  # streamed contraction tile (hidden axis) for the qkv phase
+TO = 512   # streamed contraction tile (q_dim axis) for the o phase
 CH = 512   # static MLP contraction chunk (h2 slices; not a streamed block)
-TI = 128   # intermediate tile for MLP phases
+TI = 256   # intermediate tile for MLP phases
+# Tile sizing balances two costs measured on-chip: fixed ~1.3us/grid-step
+# (fewer, larger tiles win) vs the 16MB scoped-vmem budget for the
+# double-buffered streamed blocks (smaller tiles win).
 
 
 def _unpack_planar(w, bits):
@@ -280,17 +284,17 @@ def _kernel(
             # [1, n] are not Mosaic-legal)
             out = fa_sc[:] / l_sc[:]
             flat = out.reshape(1, q_dim)
-            pm = _planar_mat(TKA, vpw)
-            for r in range(q_dim // TKA):
+            pm = _planar_mat(TO, vpw)
+            for r in range(q_dim // TO):
                 attn_sc[r:r + 1, :] = jax.lax.dot_general(
-                    flat[:, r * TKA:(r + 1) * TKA], pm, (((1,), (0,)), ((), ())),
+                    flat[:, r * TO:(r + 1) * TO], pm, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
 
         # attn_sc rows are already plane-major
         ap = jax.lax.dot_general(_onehot_rows(kt, 1, attn_sc.shape[0]), attn_sc[:],
                                  (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)  # [1, TKA]
-        s, z, ge = _select_sz(os_ref, oz_ref, kt, TKA, g_o)
+                                 preferred_element_type=jnp.float32)  # [1, TO]
+        s, z, ge = _select_sz(os_ref, oz_ref, kt, TO, g_o)
         cn = 1024 if hidden % 1024 == 0 else hidden
         for c in range(hidden // cn):
             wq = _unpack_planar(o_ref_w[:, c * cn:(c + 1) * cn], bits)
@@ -417,7 +421,7 @@ def block_mega_supported(blk: Dict[str, Any], cfg) -> bool:
         return False
     h, q_dim = cfg.hidden_size, cfg.num_heads * cfg.head_dim
     inter = cfg.intermediate_size
-    if h % CH or q_dim % TKA or inter % TI:
+    if h % CH or q_dim % TO or inter % TI:
         return False
     if cfg.rotary_dim not in (-1, cfg.head_dim) or cfg.rope_interleaved:
         return False
@@ -426,7 +430,7 @@ def block_mega_supported(blk: Dict[str, Any], cfg) -> bool:
         s = lin.spec
         return s.w_groupsize if s.w_qtype == "per_group" and s.w_groupsize > 0 else lin.in_features
 
-    for lin, tile in ((blk["qkv_proj"], TKA), (blk["o_proj"], TKA),
+    for lin, tile in ((blk["qkv_proj"], TKA), (blk["o_proj"], TO),
                       (blk["down_proj"], TI)):
         g = grp(lin)
         if not (tile % g == 0 or g % tile == 0):
@@ -474,7 +478,7 @@ def block_decode_mega(blk, mega, x, cos, sin, cache, pos, cfg, interpret=False):
         s = lin.spec
         return s.w_groupsize if s.w_qtype == "per_group" and s.w_groupsize > 0 else lin.in_features
 
-    nq, no, ni = h // TKA, q_dim // TKA, inter // TI
+    nq, no, ni = h // TKA, q_dim // TO, inter // TI
     max_len = cache["k"].shape[1]
     tb = 128
     assert max_len % tb == 0, "cache length must be a multiple of 128"
@@ -520,9 +524,9 @@ def block_decode_mega(blk, mega, x, cos, sin, cache, pos, cfg, interpret=False):
                          lambda j, p: (t_kv(j, p), 0, 0)),                # cv
             pl.BlockSpec((tb, cfg.num_kv_heads), lambda j, p: (t_kv(j, p), 0)),
             pl.BlockSpec((tb, cfg.num_kv_heads), lambda j, p: (t_kv(j, p), 0)),
-            pl.BlockSpec((TKA // vpw, h), lambda j, p: (t_o(j, p), 0)),   # o packed
-            _scale_spec(h, TKA, grp(o_l), t_o),
-            _scale_spec(h, TKA, grp(o_l), t_o),
+            pl.BlockSpec((TO // vpw, h), lambda j, p: (t_o(j, p), 0)),    # o packed
+            _scale_spec(h, TO, grp(o_l), t_o),
+            _scale_spec(h, TO, grp(o_l), t_o),
             pl.BlockSpec((1, h), lambda j, p: (0, 0)),                    # n2
             pl.BlockSpec((h // vpw, TI),
                          lambda j, p: (0, t_mlp(j, p))),                  # gate
@@ -545,7 +549,7 @@ def block_decode_mega(blk, mega, x, cos, sin, cache, pos, cfg, interpret=False):
         ],
         scratch_shapes=[
             pltpu.VMEM((1, n_qkv), jnp.float32),        # qkv_acc
-            pltpu.VMEM((q_dim // TKA, TKA), jnp.float32),  # attn rows
+            pltpu.VMEM((q_dim // TO, TO), jnp.float32),  # attn rows
             pltpu.VMEM((1, h), jnp.float32),            # o acc
             pltpu.VMEM((1, h), jnp.float32),            # x_mid
             pltpu.VMEM((1, h), jnp.float32),            # h2 (planar)
@@ -569,6 +573,8 @@ def block_decode_mega(blk, mega, x, cos, sin, cache, pos, cfg, interpret=False):
             jax.ShapeDtypeStruct((1, cfg.num_kv_heads), jnp.float32),
         ],
         interpret=interpret,
+        # retuned tiles need >16MB scoped VMEM (see model_fused.py)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(
         pos_arr,
         x_row, blk["input_norm"].reshape(1, h), x_row,

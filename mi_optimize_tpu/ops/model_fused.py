@@ -42,6 +42,7 @@ from .block_fused import (
     CH,
     TI,
     TKA,
+    TO,
     _dequant_planar,
     _onehot_rows,
     _planar_mat,
@@ -78,15 +79,15 @@ def _kernel(
     g_qkv, g_o, g_gu, g_d, nq, no, ni, nt, tb, spl, n_layers,
     out_dtype, rms_eps,
 ):
-    j = pl.program_id(0)
-    jl = j % spl          # step within the current layer
-    vpw = 32 // bits
+    l = pl.program_id(0)
+    jl = pl.program_id(1)   # step within the current layer (2-D grid: no
+    vpw = 32 // bits        # div/mod on the scalar core per index map)
     n_qkv = q_dim + 2 * kv_dim
     reps = n_heads // n_kv_heads
     scale = 1.0 / float(np.sqrt(head_dim))
 
     # ---------------- residual stream init (once per token)
-    @pl.when(j == 0)
+    @pl.when((l == 0) & (jl == 0))
     def _():
         x_sc[:] = x_ref[:].astype(jnp.float32)
 
@@ -139,8 +140,8 @@ def _kernel(
         v_q = jnp.clip(jnp.round(v / v_s), -127, 127).astype(jnp.int8)
         krow_ref[:] = k_q[None]
         vrow_ref[:] = v_q[None]
-        ksrow_ref[:] = k_s.reshape(1, -1)
-        vsrow_ref[:] = v_s.reshape(1, -1)
+        ksrow_ref[:] = k_s.reshape(1, 1, -1)
+        vsrow_ref[:] = v_s.reshape(1, 1, -1)
 
         q_sc[:] = q
         for hk in range(n_kv_heads):
@@ -191,16 +192,16 @@ def _kernel(
             oacc_sc[:] = jnp.zeros_like(oacc_sc)
             out = fa_sc[:] / l_sc[:]
             flat = out.reshape(1, q_dim)
-            pm = _planar_mat(TKA, vpw)
-            for r in range(q_dim // TKA):
+            pm = _planar_mat(TO, vpw)
+            for r in range(q_dim // TO):
                 attn_sc[r:r + 1, :] = jax.lax.dot_general(
-                    flat[:, r * TKA:(r + 1) * TKA], pm, (((1,), (0,)), ((), ())),
+                    flat[:, r * TO:(r + 1) * TO], pm, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
 
         ap = jax.lax.dot_general(_onehot_rows(kt, 1, attn_sc.shape[0]), attn_sc[:],
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        s, z, ge = _select_sz(os_ref[:][0], oz_ref[:][0], kt, TKA, g_o)
+        s, z, ge = _select_sz(os_ref[:][0], oz_ref[:][0], kt, TO, g_o)
         cn = 1024 if hidden % 1024 == 0 else hidden
         for c in range(hidden // cn):
             wq = _unpack_planar(o_ref_w[:][0][:, c * cn:(c + 1) * cn], bits)
@@ -267,7 +268,7 @@ def _kernel(
             x_new = xmid_sc[:] + mlp_acc[:]
             x_sc[:] = x_new
 
-            @pl.when(j == spl * n_layers - 1)
+            @pl.when(l == n_layers - 1)
             def _():
                 xo_ref[:] = x_new.astype(xo_ref.dtype)
 
@@ -294,8 +295,8 @@ def stack_decode_params(model) -> Dict[str, Any]:
 
     try:
         return {
-            "n1": stk(lambda b: b["input_norm"]),
-            "n2": stk(lambda b: b["post_norm"]),
+            "n1": stk(lambda b: b["input_norm"].reshape(1, -1)),
+            "n2": stk(lambda b: b["post_norm"].reshape(1, -1)),
             "qkv": stk(lambda b: b["qkv_proj"].packed),
             "qs": stk(lambda b: b["mega"]["qs"]),
             "qz": stk(lambda b: b["mega"]["qz"]),
@@ -330,13 +331,13 @@ def model_decode_mega(stack, x, cos, sin, cache, pos, cfg, meta, interpret=False
     vpw = 32 // bits
     L = cfg.num_layers
 
-    nq, no, ni = h // TKA, q_dim // TKA, inter // TI
+    nq, no, ni = h // TKA, q_dim // TO, inter // TI
     max_len = cache["k"].shape[1]
     tb = 128
     assert max_len % tb == 0
     nt = max_len // tb
     spl = nq + 1 + nt + no + ni
-    grid = L * spl
+    grid = (L, spl)
 
     x_row = x.reshape(1, h)
 
@@ -349,74 +350,73 @@ def model_decode_mega(stack, x, cos, sin, cache, pos, cfg, meta, interpret=False
         out_dtype=x.dtype, rms_eps=cfg.rms_eps,
     )
 
-    lyr = lambda j: j // spl
-    t_qkv = lambda j, p: jnp.minimum(j % spl, nq - 1)
-    t_o = lambda j, p: jnp.clip(j % spl - (nq + nt + 1), 0, no - 1)
-    t_mlp = lambda j, p: jnp.clip(j % spl - (nq + nt + no + 1), 0, ni - 1)
-    t_kv = lambda j, p: jnp.minimum(jnp.clip(j % spl - (nq + 1), 0, nt - 1),
-                                    p[0] // tb)
+    t_qkv = lambda l, j, p: jnp.minimum(j, nq - 1)
+    t_o = lambda l, j, p: jnp.clip(j - (nq + nt + 1), 0, no - 1)
+    t_mlp = lambda l, j, p: jnp.clip(j - (nq + nt + no + 1), 0, ni - 1)
+    t_kv = lambda l, j, p: jnp.minimum(jnp.clip(j - (nq + 1), 0, nt - 1),
+                                       p[0] // tb)
 
     def sspec(arr, tk, g, tile_of):
         n = max(tk // g, 1)
         if n >= 8:
             return pl.BlockSpec((1, n, arr.shape[2]),
-                                lambda j, p: (lyr(j), tile_of(j, p), 0))
+                                lambda l, j, p: (l, tile_of(l, j, p), 0))
         return pl.BlockSpec(
             (1, 8, arr.shape[2]),
-            lambda j, p: (lyr(j), ((tile_of(j, p) * tk) // g) // 8, 0))
+            lambda l, j, p: (l, ((tile_of(l, j, p) * tk) // g) // 8, 0))
 
     n_qkv = q_dim + 2 * kv_dim
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(grid,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, h), lambda j, p: (0, 0)),                     # x
-            pl.BlockSpec((1, h), lambda j, p: (lyr(j), 0)),                # n1
+            pl.BlockSpec((1, h), lambda l, j, p: (0, 0)),                  # x
+            pl.BlockSpec((1, 1, h), lambda l, j, p: (l, 0, 0)),            # n1
             pl.BlockSpec((1, TKA // vpw, n_qkv),
-                         lambda j, p: (lyr(j), t_qkv(j, p), 0)),           # qkv
+                         lambda l, j, p: (l, t_qkv(l, j, p), 0)),          # qkv
             sspec(stack["qs"], TKA, g_qkv, t_qkv),
             sspec(stack["qz"], TKA, g_qkv, t_qkv),
-            pl.BlockSpec((1, cfg.head_dim), lambda j, p: (0, 0)),          # cos
-            pl.BlockSpec((1, cfg.head_dim), lambda j, p: (0, 0)),          # sin
+            pl.BlockSpec((1, cfg.head_dim), lambda l, j, p: (0, 0)),       # cos
+            pl.BlockSpec((1, cfg.head_dim), lambda l, j, p: (0, 0)),       # sin
             pl.BlockSpec((1, tb, cfg.num_kv_heads, cfg.head_dim),
-                         lambda j, p: (lyr(j), t_kv(j, p), 0, 0)),         # ck
+                         lambda l, j, p: (l, t_kv(l, j, p), 0, 0)),        # ck
             pl.BlockSpec((1, tb, cfg.num_kv_heads, cfg.head_dim),
-                         lambda j, p: (lyr(j), t_kv(j, p), 0, 0)),         # cv
+                         lambda l, j, p: (l, t_kv(l, j, p), 0, 0)),        # cv
             pl.BlockSpec((1, tb, cfg.num_kv_heads),
-                         lambda j, p: (lyr(j), t_kv(j, p), 0)),
+                         lambda l, j, p: (l, t_kv(l, j, p), 0)),
             pl.BlockSpec((1, tb, cfg.num_kv_heads),
-                         lambda j, p: (lyr(j), t_kv(j, p), 0)),
-            pl.BlockSpec((1, TKA // vpw, h),
-                         lambda j, p: (lyr(j), t_o(j, p), 0)),             # o
-            sspec(stack["os"], TKA, g_o, t_o),
-            sspec(stack["oz"], TKA, g_o, t_o),
-            pl.BlockSpec((1, h), lambda j, p: (lyr(j), 0)),                # n2
+                         lambda l, j, p: (l, t_kv(l, j, p), 0)),
+            pl.BlockSpec((1, TO // vpw, h),
+                         lambda l, j, p: (l, t_o(l, j, p), 0)),            # o
+            sspec(stack["os"], TO, g_o, t_o),
+            sspec(stack["oz"], TO, g_o, t_o),
+            pl.BlockSpec((1, 1, h), lambda l, j, p: (l, 0, 0)),            # n2
             pl.BlockSpec((1, h // vpw, TI),
-                         lambda j, p: (lyr(j), 0, t_mlp(j, p))),           # gate
+                         lambda l, j, p: (l, 0, t_mlp(l, j, p))),          # gate
             pl.BlockSpec((1, h // vpw, TI),
-                         lambda j, p: (lyr(j), 0, ni + t_mlp(j, p))),      # up
+                         lambda l, j, p: (l, 0, ni + t_mlp(l, j, p))),     # up
             pl.BlockSpec((1, stack["gus"].shape[1], TI),
-                         lambda j, p: (lyr(j), 0, t_mlp(j, p))),
+                         lambda l, j, p: (l, 0, t_mlp(l, j, p))),
             pl.BlockSpec((1, stack["guz"].shape[1], TI),
-                         lambda j, p: (lyr(j), 0, t_mlp(j, p))),
+                         lambda l, j, p: (l, 0, t_mlp(l, j, p))),
             pl.BlockSpec((1, TI // vpw, h),
-                         lambda j, p: (lyr(j), t_mlp(j, p), 0)),           # down
+                         lambda l, j, p: (l, t_mlp(l, j, p), 0)),          # down
             sspec(stack["ds"], TI, g_d, t_mlp),
             sspec(stack["dz"], TI, g_d, t_mlp),
         ],
         out_specs=[
-            pl.BlockSpec((1, h), lambda j, p: (0, 0)),                     # x_out
+            pl.BlockSpec((1, h), lambda l, j, p: (0, 0)),                  # x_out
             pl.BlockSpec((1, cfg.num_kv_heads, cfg.head_dim),
-                         lambda j, p: (lyr(j), 0, 0)),
+                         lambda l, j, p: (l, 0, 0)),
             pl.BlockSpec((1, cfg.num_kv_heads, cfg.head_dim),
-                         lambda j, p: (lyr(j), 0, 0)),
-            pl.BlockSpec((1, cfg.num_kv_heads), lambda j, p: (lyr(j), 0)),
-            pl.BlockSpec((1, cfg.num_kv_heads), lambda j, p: (lyr(j), 0)),
+                         lambda l, j, p: (l, 0, 0)),
+            pl.BlockSpec((1, 1, cfg.num_kv_heads), lambda l, j, p: (l, 0, 0)),
+            pl.BlockSpec((1, 1, cfg.num_kv_heads), lambda l, j, p: (l, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, h), jnp.float32),             # residual stream
             pltpu.VMEM((1, n_qkv), jnp.float32),
-            pltpu.VMEM((q_dim // TKA, TKA), jnp.float32),
+            pltpu.VMEM((q_dim // TO, TO), jnp.float32),
             pltpu.VMEM((1, h), jnp.float32),
             pltpu.VMEM((1, h), jnp.float32),
             pltpu.VMEM((1, h), jnp.float32),
@@ -436,10 +436,14 @@ def model_decode_mega(stack, x, cos, sin, cache, pos, cfg, meta, interpret=False
             jax.ShapeDtypeStruct((1, h), x.dtype),
             jax.ShapeDtypeStruct((L, cfg.num_kv_heads, cfg.head_dim), jnp.int8),
             jax.ShapeDtypeStruct((L, cfg.num_kv_heads, cfg.head_dim), jnp.int8),
-            jax.ShapeDtypeStruct((L, cfg.num_kv_heads), jnp.float32),
-            jax.ShapeDtypeStruct((L, cfg.num_kv_heads), jnp.float32),
+            jax.ShapeDtypeStruct((L, 1, cfg.num_kv_heads), jnp.float32),
+            jax.ShapeDtypeStruct((L, 1, cfg.num_kv_heads), jnp.float32),
         ],
         interpret=interpret,
+        # the retuned tiles (TKA/TO=512) need ~17MB of scoped VMEM for the
+        # double-buffered streamed blocks; the 16MB default is just a compiler
+        # guard rail (v5e has 128MB VMEM/core)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(
         pos_arr,
         x_row, stack["n1"],
@@ -451,4 +455,4 @@ def model_decode_mega(stack, x, cos, sin, cache, pos, cfg, meta, interpret=False
         stack["gu"], stack["gu"], stack["gus"], stack["guz"],
         stack["d"], stack["ds"], stack["dz"],
     )
-    return x_out.reshape(x.shape), krows, vrows, ksr, vsr
+    return x_out.reshape(x.shape), krows, vrows, ksr[:, 0], vsr[:, 0]

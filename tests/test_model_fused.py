@@ -1,0 +1,50 @@
+"""Whole-model decode kernel (ops/model_fused.py) equivalence tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mi_optimize_tpu.models.model import Model
+from mi_optimize_tpu.serving import fuse_for_serving, init_cache
+from mi_optimize_tpu.serving.engine import decode_loop, prefill
+from mi_optimize_tpu.serving.megadecode import (
+    decode_loop_model,
+    stack_cache,
+    stack_serving,
+)
+from tests.test_block_fused import _mk_cfg, _mk_params
+
+
+def test_model_kernel_matches_per_layer_loop():
+    cfg = _mk_cfg(num_layers=3)
+    params = _mk_params(cfg)
+    model = fuse_for_serving(Model(config=cfg, params=params, family="llama"))
+    st = stack_serving(model)
+    assert st is not None
+    stack, meta = st
+
+    prompt = jnp.asarray([[3, 17, 42, 9, 88, 21, 5, 63]])
+    S = prompt.shape[1]
+    n = 6
+
+    cache = init_cache(cfg, 1, 128, jnp.int8)
+    logits, cache = prefill(model.params, cfg, prompt, cache, True)
+    tok = jnp.argmax(logits, -1)[:, None]
+
+    toks_ref, _ = decode_loop(model.params, cfg, tok, cache, jnp.asarray(S), n, True)
+
+    scache = stack_cache(cache)
+    toks_mega, scache2 = decode_loop_model(
+        model.params, stack, meta, cfg, tok, scache, jnp.asarray(S), n,
+        interpret=jax.default_backend() != "tpu")
+
+    assert toks_mega.tolist() == toks_ref.tolist()
+    # cache rows written at the decoded positions
+    assert int(jnp.abs(scache2["k"][:, S:S + n]).sum()) > 0
+
+
+def test_stack_serving_rejects_heterogeneous():
+    cfg = _mk_cfg(num_layers=2)
+    params = _mk_params(cfg, groupsize=128)
+    params["layers"][1] = _mk_params(cfg, groupsize=512)["layers"][1]
+    model = fuse_for_serving(Model(config=cfg, params=params, family="llama"))
+    assert stack_serving(model) is None
