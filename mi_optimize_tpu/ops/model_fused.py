@@ -40,9 +40,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .block_fused import (
     CH,
-    TI,
-    TKA,
-    TO,
     _dequant_planar,
     _onehot_rows,
     _planar_mat,
@@ -54,6 +51,49 @@ from .block_fused import (
     block_mega_supported,
     prepare_block,
 )
+
+# The whole-model kernel picks its own (larger) tiles than block_fused: with
+# every layer in one launch, total grid steps = L * steps-per-layer and the
+# fixed ~1.3us/step cost dominates — fewer, bigger tiles win as long as the
+# double-buffered blocks fit the (raised) scoped-VMEM budget. The MLP
+# intermediate dim is zero-PADDED to a TIM multiple (gate/up scale lanes
+# padded with 0 -> act==0 there -> padded down-proj rows contribute nothing),
+# trading ~2% extra weight traffic for ~2x fewer MLP grid steps.
+TIM = 1024  # model-kernel MLP intermediate tile
+# On-chip sweep (7B int4, v5e, tok/s): (tka,to,ti)=(512,512,256) 109.4;
+# (1024,1024,512) 97.6; (512,512,512) 113.6; (512,512,1024) 117.5.
+
+
+def _pick_tile(n: int) -> int:
+    """Largest lane-aligned tile in {512,256,128} dividing n (0 if none).
+
+    1024 measured SLOWER on v5e despite halving grid steps (97.6 vs 113.6
+    tok/s on 7B int4): the [1024,1024] f32 unpack/permute transients in the
+    qkv/o phases blow past the VPU-friendly working set."""
+    for c in (512, 256, 128):
+        if n % c == 0:
+            return c
+    return 0
+
+
+def _model_tiles(cfg):
+    """(tka, to, ti, inter_padded) for the whole-model kernel.
+
+    MI_TKA/MI_TO/MI_TIM env vars override the defaults (on-chip sweeps)."""
+    import os
+
+    h = cfg.hidden_size
+    q_dim = cfg.num_heads * cfg.head_dim
+
+    def pick(env, n, default):
+        v = int(os.environ.get(env, 0))
+        return v if v and n % v == 0 else default
+
+    tka = pick("MI_TKA", h, _pick_tile(h))
+    to = pick("MI_TO", q_dim, _pick_tile(q_dim))
+    ti = int(os.environ.get("MI_TIM", 0)) or TIM
+    inter_p = -(-cfg.intermediate_size // ti) * ti
+    return tka, to, ti, inter_p
 
 
 def _kernel(
@@ -77,6 +117,7 @@ def _kernel(
     bits, hidden, q_dim, kv_dim, inter,
     n_heads, n_kv_heads, head_dim,
     g_qkv, g_o, g_gu, g_d, nq, no, ni, nt, tb, spl, n_layers,
+    tka, to_, ti,
     out_dtype, rms_eps,
 ):
     l = pl.program_id(0)
@@ -101,17 +142,17 @@ def _kernel(
         xf = x_sc[:]
         rstd = jax.lax.rsqrt(jnp.mean(xf * xf) + rms_eps)
         # tile jl of x / norm weights via row-fold + one-hot (no lane slicing)
-        xr = xf.reshape(hidden // TKA, TKA)
-        nr = n1_ref[:].reshape(hidden // TKA, TKA)
-        oh = _onehot_rows(jl, 1, hidden // TKA)
+        xr = xf.reshape(hidden // tka, tka)
+        nr = n1_ref[:].reshape(hidden // tka, tka)
+        oh = _onehot_rows(jl, 1, hidden // tka)
         xt = jax.lax.dot_general(oh, xr, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         n1t = jax.lax.dot_general(oh, nr, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         ht = (xt * rstd).astype(out_dtype)
-        ht = (ht * n1t.astype(out_dtype)).astype(jnp.float32)   # [1, TKA]
+        ht = (ht * n1t.astype(out_dtype)).astype(jnp.float32)   # [1, tka]
         hp = _perm_row(ht, vpw)
-        s, z, ge = _select_sz(qs_ref[:][0], qz_ref[:][0], jl, TKA, g_qkv)
+        s, z, ge = _select_sz(qs_ref[:][0], qz_ref[:][0], jl, tka, g_qkv)
         cn = 1024 if n_qkv % 1024 == 0 else n_qkv
         for c in range(n_qkv // cn):
             wq = _unpack_planar(qkv_ref[:][0][:, c * cn:(c + 1) * cn], bits)
@@ -192,16 +233,16 @@ def _kernel(
             oacc_sc[:] = jnp.zeros_like(oacc_sc)
             out = fa_sc[:] / l_sc[:]
             flat = out.reshape(1, q_dim)
-            pm = _planar_mat(TO, vpw)
-            for r in range(q_dim // TO):
+            pm = _planar_mat(to_, vpw)
+            for r in range(q_dim // to_):
                 attn_sc[r:r + 1, :] = jax.lax.dot_general(
-                    flat[:, r * TO:(r + 1) * TO], pm, (((1,), (0,)), ((), ())),
+                    flat[:, r * to_:(r + 1) * to_], pm, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
 
         ap = jax.lax.dot_general(_onehot_rows(kt, 1, attn_sc.shape[0]), attn_sc[:],
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        s, z, ge = _select_sz(os_ref[:][0], oz_ref[:][0], kt, TO, g_o)
+        s, z, ge = _select_sz(os_ref[:][0], oz_ref[:][0], kt, to_, g_o)
         cn = 1024 if hidden % 1024 == 0 else hidden
         for c in range(hidden // cn):
             wq = _unpack_planar(o_ref_w[:][0][:, c * cn:(c + 1) * cn], bits)
@@ -234,26 +275,26 @@ def _kernel(
         g_eff = min(g_gu, CH)
         ngc = max(CH // g_gu, 1)
         chw = CH // vpw
-        gate = jnp.zeros((1, TI), jnp.float32)
-        up = jnp.zeros((1, TI), jnp.float32)
+        gate = jnp.zeros((1, ti), jnp.float32)
+        up = jnp.zeros((1, ti), jnp.float32)
         for r in range(hidden // CH):
             hp_r = h2_sc[:, r * CH:(r + 1) * CH]
             rs = (r * CH) // g_gu
             wg = _unpack_planar(g_ref[:][0][r * chw:(r + 1) * chw, :], bits)
             wg = _dequant_planar(wg, gus_ref[:][0][rs:rs + ngc, :],
-                                 guz_ref[:][0][rs:rs + ngc, :], bits, g_eff, TI)
+                                 guz_ref[:][0][rs:rs + ngc, :], bits, g_eff, ti)
             gate += jax.lax.dot_general(hp_r, wg, (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
             wu = _unpack_planar(u_ref[:][0][r * chw:(r + 1) * chw, :], bits)
             wu = _dequant_planar(wu, gus_ref[:][0][ngh + rs:ngh + rs + ngc, :],
                                  guz_ref[:][0][ngh + rs:ngh + rs + ngc, :],
-                                 bits, g_eff, TI)
+                                 bits, g_eff, ti)
             up += jax.lax.dot_general(hp_r, wu, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         act = gate * (1.0 / (1.0 + jnp.exp(-gate))) * up
 
         ap = _perm_row(act, vpw)
-        sd, zd, ged = _select_sz(ds_ref[:][0], dz_ref[:][0], m, TI, g_d)
+        sd, zd, ged = _select_sz(ds_ref[:][0], dz_ref[:][0], m, ti, g_d)
         cn = 1024 if hidden % 1024 == 0 else hidden
         for c in range(hidden // cn):
             wd_ = _unpack_planar(d_ref[:][0][:, c * cn:(c + 1) * cn], bits)
@@ -281,14 +322,46 @@ def stack_decode_params(model) -> Dict[str, Any]:
     """Stack per-layer serving params (fuse_for_serving output with
     blk["mega"] prepared) into [L, ...] arrays for the whole-model kernel.
 
-    Homogeneous layer shapes/specs required (true for the llama family)."""
+    Homogeneous layer shapes/specs required (true for the llama family).
+    The MLP intermediate axis is padded from `inter` to a TIM multiple:
+    gate/up packed lanes and their scale lanes are zero-padded (zero scale
+    -> act == 0 there), down-proj packed rows are zero-padded, and the
+    down scale rows are extended by replication (their values are masked
+    by act == 0)."""
     layers = model.params["layers"]
     if not layers or any("mega" not in b for b in layers):
         return None
-    l0 = layers[0]
-    specs = {b["qkv_proj"].spec for b in layers} | {b["o_proj"].spec for b in layers}
+    cfg = model.config
     if len({b["qkv_proj"].spec.wbit for b in layers}) != 1:
         return None
+    tka, to, ti, inter_p = _model_tiles(cfg)
+    if not tka or not to:
+        return None
+    inter = cfg.intermediate_size
+    vpw = 32 // layers[0]["qkv_proj"].spec.wbit
+
+    def pad_gu_packed(p):  # [h//vpw, 2*inter] -> [h//vpw, 2*inter_p]
+        if inter_p == inter:
+            return p
+        z = jnp.zeros((p.shape[0], inter_p - inter), p.dtype)
+        return jnp.concatenate([p[:, :inter], z, p[:, inter:], z], axis=1)
+
+    def pad_gu_scale(a):  # [2*ngh rows, inter] (gate rows over up rows) -> lanes inter_p
+        if inter_p == inter:
+            return a
+        return jnp.pad(a, ((0, 0), (0, inter_p - inter)))
+
+    def pad_d_packed(p):  # [inter//vpw, h] -> [inter_p//vpw, h]
+        if inter_p == inter:
+            return p
+        return jnp.pad(p, ((0, (inter_p - inter) // vpw), (0, 0)))
+
+    def pad_d_scale(a):  # rows must cover inter_p//g (values masked by act==0)
+        need = -(-(inter_p // max(_grp_of(layers[0]["down_proj"]), 1)) // 8) * 8
+        if a.shape[0] >= need:
+            return a
+        return jnp.concatenate(
+            [a, jnp.broadcast_to(a[-1:], (need - a.shape[0],) + a.shape[1:])], 0)
 
     def stk(fn):
         return jnp.stack([fn(b) for b in layers])
@@ -303,15 +376,20 @@ def stack_decode_params(model) -> Dict[str, Any]:
             "o": stk(lambda b: b["o_proj"].packed),
             "os": stk(lambda b: b["mega"]["os"]),
             "oz": stk(lambda b: b["mega"]["oz"]),
-            "gu": stk(lambda b: b["gateup_proj"].packed),
-            "gus": stk(lambda b: b["mega"]["gus"]),
-            "guz": stk(lambda b: b["mega"]["guz"]),
-            "d": stk(lambda b: b["down_proj"].packed),
-            "ds": stk(lambda b: b["mega"]["ds"]),
-            "dz": stk(lambda b: b["mega"]["dz"]),
+            "gu": stk(lambda b: pad_gu_packed(b["gateup_proj"].packed)),
+            "gus": stk(lambda b: pad_gu_scale(b["mega"]["gus"])),
+            "guz": stk(lambda b: pad_gu_scale(b["mega"]["guz"])),
+            "d": stk(lambda b: pad_d_packed(b["down_proj"].packed)),
+            "ds": stk(lambda b: pad_d_scale(b["mega"]["ds"])),
+            "dz": stk(lambda b: pad_d_scale(b["mega"]["dz"])),
         }
     except (KeyError, TypeError):
         return None
+
+
+def _grp_of(lin):
+    s = lin.spec
+    return s.w_groupsize if s.w_qtype == "per_group" and s.w_groupsize > 0 else lin.in_features
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "meta", "interpret"))
@@ -327,11 +405,11 @@ def model_decode_mega(stack, x, cos, sin, cache, pos, cfg, meta, interpret=False
     h = cfg.hidden_size
     q_dim = cfg.num_heads * cfg.head_dim
     kv_dim = cfg.num_kv_heads * cfg.head_dim
-    inter = cfg.intermediate_size
     vpw = 32 // bits
     L = cfg.num_layers
 
-    nq, no, ni = h // TKA, q_dim // TO, inter // TI
+    tka, to_, ti, inter_p = _model_tiles(cfg)
+    nq, no, ni = h // tka, q_dim // to_, inter_p // ti
     max_len = cache["k"].shape[1]
     tb = 128
     assert max_len % tb == 0
@@ -342,11 +420,12 @@ def model_decode_mega(stack, x, cos, sin, cache, pos, cfg, meta, interpret=False
     x_row = x.reshape(1, h)
 
     kern = functools.partial(
-        _kernel, bits=bits, hidden=h, q_dim=q_dim, kv_dim=kv_dim, inter=inter,
+        _kernel, bits=bits, hidden=h, q_dim=q_dim, kv_dim=kv_dim, inter=inter_p,
         n_heads=cfg.num_heads, n_kv_heads=cfg.num_kv_heads,
         head_dim=cfg.head_dim,
         g_qkv=g_qkv, g_o=g_o, g_gu=g_gu, g_d=g_d,
         nq=nq, no=no, ni=ni, nt=nt, tb=tb, spl=spl, n_layers=L,
+        tka=tka, to_=to_, ti=ti,
         out_dtype=x.dtype, rms_eps=cfg.rms_eps,
     )
 
@@ -372,10 +451,10 @@ def model_decode_mega(stack, x, cos, sin, cache, pos, cfg, meta, interpret=False
         in_specs=[
             pl.BlockSpec((1, h), lambda l, j, p: (0, 0)),                  # x
             pl.BlockSpec((1, 1, h), lambda l, j, p: (l, 0, 0)),            # n1
-            pl.BlockSpec((1, TKA // vpw, n_qkv),
+            pl.BlockSpec((1, tka // vpw, n_qkv),
                          lambda l, j, p: (l, t_qkv(l, j, p), 0)),          # qkv
-            sspec(stack["qs"], TKA, g_qkv, t_qkv),
-            sspec(stack["qz"], TKA, g_qkv, t_qkv),
+            sspec(stack["qs"], tka, g_qkv, t_qkv),
+            sspec(stack["qz"], tka, g_qkv, t_qkv),
             pl.BlockSpec((1, cfg.head_dim), lambda l, j, p: (0, 0)),       # cos
             pl.BlockSpec((1, cfg.head_dim), lambda l, j, p: (0, 0)),       # sin
             pl.BlockSpec((1, tb, cfg.num_kv_heads, cfg.head_dim),
@@ -386,23 +465,23 @@ def model_decode_mega(stack, x, cos, sin, cache, pos, cfg, meta, interpret=False
                          lambda l, j, p: (l, t_kv(l, j, p), 0)),
             pl.BlockSpec((1, tb, cfg.num_kv_heads),
                          lambda l, j, p: (l, t_kv(l, j, p), 0)),
-            pl.BlockSpec((1, TO // vpw, h),
+            pl.BlockSpec((1, to_ // vpw, h),
                          lambda l, j, p: (l, t_o(l, j, p), 0)),            # o
-            sspec(stack["os"], TO, g_o, t_o),
-            sspec(stack["oz"], TO, g_o, t_o),
+            sspec(stack["os"], to_, g_o, t_o),
+            sspec(stack["oz"], to_, g_o, t_o),
             pl.BlockSpec((1, 1, h), lambda l, j, p: (l, 0, 0)),            # n2
-            pl.BlockSpec((1, h // vpw, TI),
+            pl.BlockSpec((1, h // vpw, ti),
                          lambda l, j, p: (l, 0, t_mlp(l, j, p))),          # gate
-            pl.BlockSpec((1, h // vpw, TI),
+            pl.BlockSpec((1, h // vpw, ti),
                          lambda l, j, p: (l, 0, ni + t_mlp(l, j, p))),     # up
-            pl.BlockSpec((1, stack["gus"].shape[1], TI),
+            pl.BlockSpec((1, stack["gus"].shape[1], ti),
                          lambda l, j, p: (l, 0, t_mlp(l, j, p))),
-            pl.BlockSpec((1, stack["guz"].shape[1], TI),
+            pl.BlockSpec((1, stack["guz"].shape[1], ti),
                          lambda l, j, p: (l, 0, t_mlp(l, j, p))),
-            pl.BlockSpec((1, TI // vpw, h),
+            pl.BlockSpec((1, ti // vpw, h),
                          lambda l, j, p: (l, t_mlp(l, j, p), 0)),          # down
-            sspec(stack["ds"], TI, g_d, t_mlp),
-            sspec(stack["dz"], TI, g_d, t_mlp),
+            sspec(stack["ds"], ti, g_d, t_mlp),
+            sspec(stack["dz"], ti, g_d, t_mlp),
         ],
         out_specs=[
             pl.BlockSpec((1, h), lambda l, j, p: (0, 0)),                  # x_out
@@ -416,7 +495,7 @@ def model_decode_mega(stack, x, cos, sin, cache, pos, cfg, meta, interpret=False
         scratch_shapes=[
             pltpu.VMEM((1, h), jnp.float32),             # residual stream
             pltpu.VMEM((1, n_qkv), jnp.float32),
-            pltpu.VMEM((q_dim // TO, TO), jnp.float32),
+            pltpu.VMEM((q_dim // to_, to_), jnp.float32),
             pltpu.VMEM((1, h), jnp.float32),
             pltpu.VMEM((1, h), jnp.float32),
             pltpu.VMEM((1, h), jnp.float32),
@@ -440,9 +519,9 @@ def model_decode_mega(stack, x, cos, sin, cache, pos, cfg, meta, interpret=False
             jax.ShapeDtypeStruct((L, 1, cfg.num_kv_heads), jnp.float32),
         ],
         interpret=interpret,
-        # the retuned tiles (TKA/TO=512) need ~17MB of scoped VMEM for the
-        # double-buffered streamed blocks; the 16MB default is just a compiler
-        # guard rail (v5e has 128MB VMEM/core)
+        # the retuned tiles (tka/to up to 1024) need >16MB of scoped VMEM for
+        # the double-buffered streamed blocks; the 16MB default is just a
+        # compiler guard rail (v5e has 128MB VMEM/core)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(
         pos_arr,

@@ -42,6 +42,29 @@ def test_model_kernel_matches_per_layer_loop():
     assert int(jnp.abs(scache2["k"][:, S:S + n]).sum()) > 0
 
 
+def test_model_kernel_padded_intermediate():
+    """inter % TIM != 0 exercises the zero-padded MLP tail tile."""
+    cfg = _mk_cfg(num_layers=2, intermediate_size=1280)  # pads to 1536
+    params = _mk_params(cfg)
+    model = fuse_for_serving(Model(config=cfg, params=params, family="llama"))
+    st = stack_serving(model)
+    assert st is not None
+    stack, meta = st
+
+    prompt = jnp.asarray([[5, 9, 101, 44, 2, 77, 13, 60]])
+    S = prompt.shape[1]
+    cache = init_cache(cfg, 1, 128, jnp.int8)
+    logits, cache = prefill(model.params, cfg, prompt, cache, True)
+    tok = jnp.argmax(logits, -1)[:, None]
+
+    toks_ref, _ = decode_loop(model.params, cfg, tok, cache, jnp.asarray(S), 5, True)
+    scache = stack_cache(cache)
+    toks_mega, _ = decode_loop_model(
+        model.params, stack, meta, cfg, tok, scache, jnp.asarray(S), 5,
+        interpret=jax.default_backend() != "tpu")
+    assert toks_mega.tolist() == toks_ref.tolist()
+
+
 def test_stack_serving_rejects_heterogeneous():
     cfg = _mk_cfg(num_layers=2)
     params = _mk_params(cfg, groupsize=128)
