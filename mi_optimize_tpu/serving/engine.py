@@ -68,6 +68,31 @@ def prefill(params, cfg, input_ids, cache, fused=True):
     return logits, new_cache
 
 
+@partial(jax.jit, static_argnames=("cfg", "fused"))
+def prefill_chunk(params, cfg, input_ids, cache, pos0, fused=True):
+    """Process a chunk of C tokens starting at absolute position `pos0`
+    (cached context before pos0 is attended); returns (logits [B,C,V], cache).
+
+    This is the verify primitive for speculative decoding and the building
+    block for chunked (paged) prefill: unlike `prefill` it scores EVERY chunk
+    position, and unlike `decode_step` it ingests C tokens in one call."""
+    B, C = input_ids.shape
+    max_len = _cache_len(cache)
+    x = llama.embed(params, input_ids)
+    positions = pos0 + jnp.arange(C)
+    cos, sin = llama.rope_tables(cfg, positions)
+    mask = jnp.arange(max_len)[None, :] <= positions[:, None]  # [C, T]
+    new_cache = []
+    for blk, kv in zip(params["layers"], cache):
+        x, kv, _ = llama.block_apply(
+            blk, x, cos, sin, mask, cfg, kv_cache=kv, cache_index=pos0,
+            fused=fused
+        )
+        new_cache.append(kv)
+    x = llama.rms_norm(x, params["final_norm"], cfg.rms_eps)
+    return llama.unembed(params, cfg, x, fused=fused), new_cache
+
+
 def _decode_core(params, cfg, token, cache, pos, fused=True):
     """One autoregressive step. token [B,1], pos scalar; returns (logits, cache)."""
     max_len = _cache_len(cache)
