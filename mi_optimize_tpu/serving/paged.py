@@ -91,13 +91,26 @@ def paged_decode_step(params, cfg, tokens, layers, table, positions,
         # scatter the new k/v into (page, offset) per slot
         pk = pk.at[page_idx, offset].set(k[:, 0].astype(pk.dtype))
         pv = pv.at[page_idx, offset].set(v[:, 0].astype(pv.dtype))
-        # gather each slot's logical view
-        k_all = pk[table].reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
-        v_all = pv[table].reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
 
-        attn = llama.attention(q, k_all.astype(q.dtype), v_all.astype(q.dtype),
-                               mask, cfg)
-        attn = attn.reshape(B, 1, cfg.num_heads * cfg.head_dim)
+        from ..ops.paged_attention import (
+            paged_attention_supported, paged_flash_attention)
+
+        if fused and paged_attention_supported(page_size, cfg.head_dim):
+            # fused kernel: pages read directly via page-table indexed block
+            # fetches — no [B, T, H, D] logical-view materialization
+            attn = paged_flash_attention(
+                q.reshape(B, -1), pk, pv, table, positions,
+                n_heads=cfg.num_heads, n_kv_heads=cfg.num_kv_heads,
+                head_dim=cfg.head_dim, page_size=page_size,
+                interpret=jax.default_backend() != "tpu")
+            attn = attn.reshape(B, 1, cfg.num_heads * cfg.head_dim).astype(x.dtype)
+        else:
+            # gather each slot's logical view
+            k_all = pk[table].reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+            v_all = pv[table].reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+            attn = llama.attention(q, k_all.astype(q.dtype), v_all.astype(q.dtype),
+                                   mask, cfg)
+            attn = attn.reshape(B, 1, cfg.num_heads * cfg.head_dim)
         x = x + quant_linear_apply(blk["o_proj"], attn, fused=fused)
         h2 = llama.rms_norm(x, blk["post_norm"], cfg.rms_eps)
         if "gateup_proj" in blk:
