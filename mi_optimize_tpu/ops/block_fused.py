@@ -480,7 +480,10 @@ def block_decode_mega(blk, mega, x, cos, sin, cache, pos, cfg, interpret=False):
 
     nq, no, ni = h // TKA, q_dim // TO, inter // TI
     max_len = cache["k"].shape[1]
-    tb = 128
+    # adaptive flash block: long caches take 256-token history blocks —
+    # half the grid steps (the live-prefix clamp skips dead-block TRAFFIC
+    # but each block is still a ~1.3us grid step)
+    tb = 256 if (max_len % 256 == 0 and max_len >= 1024) else 128
     assert max_len % tb == 0, "cache length must be a multiple of 128"
     nt = max_len // tb
     grid = nq + 1 + nt + no + ni

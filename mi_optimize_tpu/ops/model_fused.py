@@ -411,7 +411,8 @@ def model_decode_mega(stack, x, cos, sin, cache, pos, cfg, meta, interpret=False
     tka, to_, ti, inter_p = _model_tiles(cfg)
     nq, no, ni = h // tka, q_dim // to_, inter_p // ti
     max_len = cache["k"].shape[1]
-    tb = 128
+    # adaptive flash block (see block_fused.block_decode_mega)
+    tb = 256 if (max_len % 256 == 0 and max_len >= 1024) else 128
     assert max_len % tb == 0
     nt = max_len // tb
     spl = nq + 1 + nt + no + ni

@@ -65,6 +65,28 @@ def test_model_kernel_padded_intermediate():
     assert toks_mega.tolist() == toks_ref.tolist()
 
 
+def test_model_kernel_long_cache_tb256():
+    """max_len >= 1024 engages the 256-token adaptive flash block."""
+    cfg = _mk_cfg(num_layers=2)
+    params = _mk_params(cfg)
+    model = fuse_for_serving(Model(config=cfg, params=params, family="llama"))
+    stack, meta = stack_serving(model)
+
+    prompt = jnp.asarray([[7, 3, 19, 250, 4, 99, 6, 42]])
+    S = prompt.shape[1]
+    cache = init_cache(cfg, 1, 1024, jnp.int8)
+    logits, cache = prefill(model.params, cfg, prompt, cache, True)
+    tok = jnp.argmax(logits, -1)[:, None]
+
+    # stock jnp path (fused=False) as the oracle: both kernels use tb=256 here
+    toks_ref, _ = decode_loop(model.params, cfg, tok, cache, jnp.asarray(S), 4, False)
+    scache = stack_cache(cache)
+    toks_mega, _ = decode_loop_model(
+        model.params, stack, meta, cfg, tok, scache, jnp.asarray(S), 4,
+        interpret=jax.default_backend() != "tpu")
+    assert toks_mega.tolist() == toks_ref.tolist()
+
+
 def test_stack_serving_rejects_heterogeneous():
     cfg = _mk_cfg(num_layers=2)
     params = _mk_params(cfg, groupsize=128)
