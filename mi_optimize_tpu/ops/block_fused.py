@@ -57,13 +57,24 @@ TI = 256   # intermediate tile for MLP phases
 
 
 def _unpack_planar(w, bits):
-    """uint32 [W, N] -> f32 [W*vpw, N], plane-major rows (r = i*W + w)."""
+    """uint32 [W, N] -> f32 [W*vpw, N], plane-major rows (r = i*W + w).
+
+    The decode megakernel is VPU-unpack-bound (~740 Gvalues/s measured =
+    whole-token time), so every per-value op counts: plane 0 needs no shift
+    and the top plane needs no mask (logical shift on uint32 already zero-
+    fills), saving 2 of the 2*vpw shift/mask ops per word."""
     vpw = 32 // bits
     mask = jnp.uint32((1 << bits) - 1)
-    parts = [
-        jax.lax.bitcast_convert_type((w >> jnp.uint32(bits * i)) & mask, jnp.int32)
-        for i in range(vpw)
-    ]
+
+    def field(i):
+        if i == 0:
+            return w & mask
+        if i == vpw - 1:
+            return w >> jnp.uint32(bits * i)
+        return (w >> jnp.uint32(bits * i)) & mask
+
+    parts = [jax.lax.bitcast_convert_type(field(i), jnp.int32)
+             for i in range(vpw)]
     return jnp.concatenate(parts, axis=0).astype(jnp.float32)
 
 
@@ -86,17 +97,21 @@ def _perm_row(row, vpw):
                                preferred_element_type=jnp.float32)
 
 
-def _dequant_planar(wq, s, z, bits, group, tn):
-    """Planar-rows dequant: wq [vpw*W, tn]; s/z [ng, tn] for this tile.
+def _dequant_planar(wq, s, b, bits, group, tn):
+    """Planar-rows dequant: wq [vpw*W, tn]; s/b [ng, tn] for this tile.
 
     Orig k of planar row i*W+w is w*vpw+i, so the group index is
     w // (group/vpw) — independent of the plane i (requires group % vpw == 0).
+
+    b is the precomputed dequant BIAS -(zero - qmin) * scale (see _scales_t),
+    so the per-value work is ONE fused multiply-add `q*s + b` instead of the
+    two-op `(q - z)*s` — ~20% of the VPU budget of this unpack-bound kernel.
     """
     vpw = 32 // bits
     ng = wq.shape[0] // group
     gw = group // vpw
     wv = wq.reshape(vpw, ng, gw, tn)
-    return ((wv - z[None, :, None, :]) * s[None, :, None, :]).reshape(wq.shape)
+    return (wv * s[None, :, None, :] + b[None, :, None, :]).reshape(wq.shape)
 
 
 def _onehot_rows(start, n, total):
@@ -141,6 +156,20 @@ def _select_sz(s_ref, z_ref, tile_idx, tile_k, g):
     z = jax.lax.dot_general(oh, z_ref[:], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     return s, z, min(g, tile_k)
+
+
+def _select_s(s_ref, tile_idx, tile_k, g):
+    """`_select_sz` for the scale table alone (constant-zero kernel variants
+    skip the bias table read entirely; see model_fused)."""
+    n = max(tile_k // g, 1)
+    R = s_ref.shape[0]
+    if n == R:
+        return s_ref[:], min(g, tile_k)
+    lo = ((tile_idx * tile_k) // g) % R
+    oh = _onehot_rows(lo, n, R)
+    s = jax.lax.dot_general(oh, s_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return s, min(g, tile_k)
 
 
 def _rope_rows(x, cos, sin):
@@ -378,7 +407,11 @@ def _pad_rows8(a):
 
 
 def _scales_t(lin) -> tuple:
-    """Logical per-linear scales -> kernel layout [ngroups, out] f32 (+zero-qmin)."""
+    """Logical per-linear scales -> kernel layout [ngroups, out] f32.
+
+    Returns (scale, bias, group) with bias = -(zero - qmin)*scale, so the
+    kernel dequantizes unpacked unsigned fields q' with one FMA:
+    (q' + qmin - zero)*scale == q'*scale + bias (see _dequant_planar)."""
     from ..core.qparams import qrange
 
     s = lin.spec
@@ -388,7 +421,7 @@ def _scales_t(lin) -> tuple:
     rng = qrange(s.wbit, s.w_unsigned)
     st = jnp.broadcast_to(jnp.reshape(lin.w_scale, (-1, ng)).T, (ng, n)).astype(jnp.float32)
     zt = jnp.broadcast_to(jnp.reshape(lin.w_zero, (-1, ng)).T, (ng, n)).astype(jnp.float32)
-    return st, zt - float(rng.qmin), g
+    return st, -(zt - float(rng.qmin)) * st, g
 
 
 def _lin_ok(lin, cfg) -> bool:
@@ -441,7 +474,9 @@ def block_mega_supported(blk: Dict[str, Any], cfg) -> bool:
 
 
 def prepare_block(blk: Dict[str, Any], cfg) -> Dict[str, jnp.ndarray]:
-    """Precompute kernel-layout scale/zero arrays for one block (fuse time)."""
+    """Precompute kernel-layout scale/bias arrays for one block (fuse time).
+
+    The *z keys hold the FMA dequant bias -(zero-qmin)*scale, not the zero."""
     qs, qz, _ = _scales_t(blk["qkv_proj"])
     os_, oz, _ = _scales_t(blk["o_proj"])
     gus, guz, _ = _scales_t(blk["gateup_proj"])

@@ -68,10 +68,16 @@ def _unpack_words_planar(w: jnp.ndarray, bits: int) -> jnp.ndarray:
     """
     vpw = 32 // bits
     mask = jnp.uint32((1 << bits) - 1)
-    parts = [
-        jax.lax.bitcast_convert_type((w >> jnp.uint32(bits * i)) & mask, jnp.int32)
-        for i in range(vpw)
-    ]
+
+    def field(i):  # plane 0 needs no shift; the top plane needs no mask
+        if i == 0:
+            return w & mask
+        if i == vpw - 1:
+            return w >> jnp.uint32(bits * i)
+        return (w >> jnp.uint32(bits * i)) & mask
+
+    parts = [jax.lax.bitcast_convert_type(field(i), jnp.int32)
+             for i in range(vpw)]
     return jnp.concatenate(parts, axis=0).astype(jnp.float32)
 
 
@@ -93,9 +99,11 @@ def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, ng_tile, tk, nk
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     # scales arrive pre-expanded per K tile (rows 0:ng_tile of this block) —
-    # static slicing only; Mosaic cannot prove alignment of dynamic row slices
+    # static slicing only; Mosaic cannot prove alignment of dynamic row slices.
+    # b is the precomputed dequant bias -(zero-qmin)*scale: one FMA per value
+    # instead of the two-op (q - z)*s (this kernel is VPU-unpack-bound).
     s = s_ref[0:ng_tile, :]
-    z = z_ref[0:ng_tile, :]
+    b = z_ref[0:ng_tile, :]
     vpw = 32 // bits
     group = tk // ng_tile
     if planar:
@@ -104,15 +112,15 @@ def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, ng_tile, tk, nk
         # planar row i*TKW+w is orig k = w*vpw+i -> group w // (group/vpw),
         # independent of the plane i (planar requires group % vpw == 0)
         wv = wq.reshape(vpw, ng_tile, group // vpw, tn)
-        wd = ((wv - z[None, :, None, :]) * s[None, :, None, :]).reshape(tk, tn)
+        wd = (wv * s[None, :, None, :] + b[None, :, None, :]).reshape(tk, tn)
     else:
         wq = _unpack_words(w_ref[:], bits).astype(jnp.float32)  # [TK, TN]
         tn = wq.shape[1]
         if ng_tile == 1:
-            wd = (wq - z) * s
+            wd = wq * s + b
         else:
-            wd = ((wq.reshape(ng_tile, group, tn) - z[:, None, :])
-                  * s[:, None, :]).reshape(tk, tn)
+            wd = (wq.reshape(ng_tile, group, tn) * s[:, None, :]
+                  + b[:, None, :]).reshape(tk, tn)
 
     x = x_ref[:]
     acc_ref[:] += jax.lax.dot_general(
@@ -153,9 +161,10 @@ def packed_matmul(
     N = out_features
     assert K == in_features
     g = groupsize if groupsize > 0 else K
-    # zero-point seen by the kernel absorbs the storage bias (stored = q - qmin)
-    z_eff = zeros_t.astype(jnp.float32) - float(qmin)
+    # zero-point seen by the kernel absorbs the storage bias (stored = q - qmin);
+    # folded with the scale into the FMA dequant bias -(zero-qmin)*scale
     s_t = scales_t.astype(jnp.float32)
+    z_eff = -(zeros_t.astype(jnp.float32) - float(qmin)) * s_t
     ngroups = K // g
     assert s_t.shape == (ngroups, N) and z_eff.shape == (ngroups, N)
 

@@ -46,6 +46,7 @@ from .block_fused import (
     _perm_row,
     _rope_rows,
     _scale_spec,
+    _select_s,
     _select_sz,
     _unpack_planar,
     block_mega_supported,
@@ -119,6 +120,7 @@ def _kernel(
     g_qkv, g_o, g_gu, g_d, nq, no, ni, nt, tb, spl, n_layers,
     tka, to_, ti,
     out_dtype, rms_eps,
+    zc_qkv, zc_o, zc_gu, zc_d,
 ):
     l = pl.program_id(0)
     jl = pl.program_id(1)   # step within the current layer (2-D grid: no
@@ -152,7 +154,13 @@ def _kernel(
         ht = (xt * rstd).astype(out_dtype)
         ht = (ht * n1t.astype(out_dtype)).astype(jnp.float32)   # [1, tka]
         hp = _perm_row(ht, vpw)
-        s, z, ge = _select_sz(qs_ref[:][0], qz_ref[:][0], jl, tka, g_qkv)
+        # constant-zero grids (symmetric quant) skip the bias-table read: the
+        # dequant bias is -(zero-qmin)*scale with a compile-time zero
+        if zc_qkv is None:
+            s, z, ge = _select_sz(qs_ref[:][0], qz_ref[:][0], jl, tka, g_qkv)
+        else:
+            s, ge = _select_s(qs_ref[:][0], jl, tka, g_qkv)
+            z = s * (-zc_qkv)
         cn = 1024 if n_qkv % 1024 == 0 else n_qkv
         for c in range(n_qkv // cn):
             wq = _unpack_planar(qkv_ref[:][0][:, c * cn:(c + 1) * cn], bits)
@@ -242,7 +250,11 @@ def _kernel(
         ap = jax.lax.dot_general(_onehot_rows(kt, 1, attn_sc.shape[0]), attn_sc[:],
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        s, z, ge = _select_sz(os_ref[:][0], oz_ref[:][0], kt, to_, g_o)
+        if zc_o is None:
+            s, z, ge = _select_sz(os_ref[:][0], oz_ref[:][0], kt, to_, g_o)
+        else:
+            s, ge = _select_s(os_ref[:][0], kt, to_, g_o)
+            z = s * (-zc_o)
         cn = 1024 if hidden % 1024 == 0 else hidden
         for c in range(hidden // cn):
             wq = _unpack_planar(o_ref_w[:][0][:, c * cn:(c + 1) * cn], bits)
@@ -277,24 +289,33 @@ def _kernel(
         chw = CH // vpw
         gate = jnp.zeros((1, ti), jnp.float32)
         up = jnp.zeros((1, ti), jnp.float32)
+        def gu_sb(rows):
+            s_ = gus_ref[:][0][rows, :]
+            if zc_gu is None:
+                return s_, guz_ref[:][0][rows, :]
+            return s_, s_ * (-zc_gu)
+
         for r in range(hidden // CH):
             hp_r = h2_sc[:, r * CH:(r + 1) * CH]
             rs = (r * CH) // g_gu
+            sg, bg = gu_sb(slice(rs, rs + ngc))
             wg = _unpack_planar(g_ref[:][0][r * chw:(r + 1) * chw, :], bits)
-            wg = _dequant_planar(wg, gus_ref[:][0][rs:rs + ngc, :],
-                                 guz_ref[:][0][rs:rs + ngc, :], bits, g_eff, ti)
+            wg = _dequant_planar(wg, sg, bg, bits, g_eff, ti)
             gate += jax.lax.dot_general(hp_r, wg, (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
+            su, bu = gu_sb(slice(ngh + rs, ngh + rs + ngc))
             wu = _unpack_planar(u_ref[:][0][r * chw:(r + 1) * chw, :], bits)
-            wu = _dequant_planar(wu, gus_ref[:][0][ngh + rs:ngh + rs + ngc, :],
-                                 guz_ref[:][0][ngh + rs:ngh + rs + ngc, :],
-                                 bits, g_eff, ti)
+            wu = _dequant_planar(wu, su, bu, bits, g_eff, ti)
             up += jax.lax.dot_general(hp_r, wu, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         act = gate * (1.0 / (1.0 + jnp.exp(-gate))) * up
 
         ap = _perm_row(act, vpw)
-        sd, zd, ged = _select_sz(ds_ref[:][0], dz_ref[:][0], m, ti, g_d)
+        if zc_d is None:
+            sd, zd, ged = _select_sz(ds_ref[:][0], dz_ref[:][0], m, ti, g_d)
+        else:
+            sd, ged = _select_s(ds_ref[:][0], m, ti, g_d)
+            zd = sd * (-zc_d)
         cn = 1024 if hidden % 1024 == 0 else hidden
         for c in range(hidden // cn):
             wd_ = _unpack_planar(d_ref[:][0][:, c * cn:(c + 1) * cn], bits)
@@ -399,9 +420,12 @@ def model_decode_mega(stack, x, cos, sin, cache, pos, cfg, meta, interpret=False
     cache: stacked dict {"k": [L,T,Hkv,D] int8, "v": ..., "k_scale": [L,T,Hkv],
     "v_scale": ...}. Returns (x_out, krows [L,Hkv,D], vrows, ksr [L,Hkv], vsr);
     the caller scatters the rows (one dynamic_update_slice per field).
-    meta: hashable dict-free tuple (bits, g_qkv, g_o, g_gu, g_d).
+    meta: hashable tuple (bits, g_qkv, g_o, g_gu, g_d, zc_qkv, zc_o, zc_gu,
+    zc_d); each zc is the constant (zero - qmin) of a symmetric grid, or None.
+    A non-None zc freezes that bias table's index map — its ~weights/groupsize
+    f32 lanes (≈200MB/token on 7B g128) are never streamed.
     """
-    bits, g_qkv, g_o, g_gu, g_d = meta
+    bits, g_qkv, g_o, g_gu, g_d, zc_qkv, zc_o, zc_gu, zc_d = meta
     h = cfg.hidden_size
     q_dim = cfg.num_heads * cfg.head_dim
     kv_dim = cfg.num_kv_heads * cfg.head_dim
@@ -428,6 +452,7 @@ def model_decode_mega(stack, x, cos, sin, cache, pos, cfg, meta, interpret=False
         nq=nq, no=no, ni=ni, nt=nt, tb=tb, spl=spl, n_layers=L,
         tka=tka, to_=to_, ti=ti,
         out_dtype=x.dtype, rms_eps=cfg.rms_eps,
+        zc_qkv=zc_qkv, zc_o=zc_o, zc_gu=zc_gu, zc_d=zc_d,
     )
 
     t_qkv = lambda l, j, p: jnp.minimum(j, nq - 1)
@@ -436,13 +461,17 @@ def model_decode_mega(stack, x, cos, sin, cache, pos, cfg, meta, interpret=False
     t_kv = lambda l, j, p: jnp.minimum(jnp.clip(j - (nq + 1), 0, nt - 1),
                                        p[0] // tb)
 
-    def sspec(arr, tk, g, tile_of):
+    def sspec(arr, tk, g, tile_of, frozen=False):
         n = max(tk // g, 1)
+        rows = n if n >= 8 else 8
+        if frozen:  # constant-zero: one block fetched once, never re-read
+            return pl.BlockSpec((1, rows, arr.shape[2]),
+                                lambda l, j, p: (0, 0, 0))
         if n >= 8:
-            return pl.BlockSpec((1, n, arr.shape[2]),
+            return pl.BlockSpec((1, rows, arr.shape[2]),
                                 lambda l, j, p: (l, tile_of(l, j, p), 0))
         return pl.BlockSpec(
-            (1, 8, arr.shape[2]),
+            (1, rows, arr.shape[2]),
             lambda l, j, p: (l, ((tile_of(l, j, p) * tk) // g) // 8, 0))
 
     n_qkv = q_dim + 2 * kv_dim
@@ -455,7 +484,7 @@ def model_decode_mega(stack, x, cos, sin, cache, pos, cfg, meta, interpret=False
             pl.BlockSpec((1, tka // vpw, n_qkv),
                          lambda l, j, p: (l, t_qkv(l, j, p), 0)),          # qkv
             sspec(stack["qs"], tka, g_qkv, t_qkv),
-            sspec(stack["qz"], tka, g_qkv, t_qkv),
+            sspec(stack["qz"], tka, g_qkv, t_qkv, frozen=zc_qkv is not None),
             pl.BlockSpec((1, cfg.head_dim), lambda l, j, p: (0, 0)),       # cos
             pl.BlockSpec((1, cfg.head_dim), lambda l, j, p: (0, 0)),       # sin
             pl.BlockSpec((1, tb, cfg.num_kv_heads, cfg.head_dim),
@@ -469,7 +498,7 @@ def model_decode_mega(stack, x, cos, sin, cache, pos, cfg, meta, interpret=False
             pl.BlockSpec((1, to_ // vpw, h),
                          lambda l, j, p: (l, t_o(l, j, p), 0)),            # o
             sspec(stack["os"], to_, g_o, t_o),
-            sspec(stack["oz"], to_, g_o, t_o),
+            sspec(stack["oz"], to_, g_o, t_o, frozen=zc_o is not None),
             pl.BlockSpec((1, 1, h), lambda l, j, p: (l, 0, 0)),            # n2
             pl.BlockSpec((1, h // vpw, ti),
                          lambda l, j, p: (l, 0, t_mlp(l, j, p))),          # gate
@@ -478,11 +507,12 @@ def model_decode_mega(stack, x, cos, sin, cache, pos, cfg, meta, interpret=False
             pl.BlockSpec((1, stack["gus"].shape[1], ti),
                          lambda l, j, p: (l, 0, t_mlp(l, j, p))),
             pl.BlockSpec((1, stack["guz"].shape[1], ti),
-                         lambda l, j, p: (l, 0, t_mlp(l, j, p))),
+                         (lambda l, j, p: (0, 0, 0)) if zc_gu is not None
+                         else (lambda l, j, p: (l, 0, t_mlp(l, j, p)))),
             pl.BlockSpec((1, ti // vpw, h),
                          lambda l, j, p: (l, t_mlp(l, j, p), 0)),          # down
             sspec(stack["ds"], ti, g_d, t_mlp),
-            sspec(stack["dz"], ti, g_d, t_mlp),
+            sspec(stack["dz"], ti, g_d, t_mlp, frozen=zc_d is not None),
         ],
         out_specs=[
             pl.BlockSpec((1, h), lambda l, j, p: (0, 0)),                  # x_out

@@ -28,6 +28,27 @@ def _grp(lin):
     return s.w_groupsize if s.w_qtype == "per_group" and s.w_groupsize > 0 else lin.in_features
 
 
+def _zconst(layers, name):
+    """Constant (zero - qmin) shared by `name` across ALL layers, else None.
+
+    Symmetric grids (RTN midpoint zero, absmax grids) have one zero for the
+    whole model; the kernel then never streams the bias tables — on 7B g128
+    that is ~200MB/token of the ~3.6GB weight read. One small device
+    reduction + scalar pull (host<->device is slow here; see CLAUDE.md)."""
+    import numpy as np
+
+    from ..core.qparams import qrange
+
+    zs = [jnp.asarray(b[name].w_zero, jnp.float32).reshape(-1) for b in layers]
+    z = jnp.concatenate(zs)
+    res = np.asarray(jnp.stack([jnp.all(z == z[0]).astype(jnp.float32), z[0]]))
+    if res[0] != 1.0:
+        return None
+    lin = layers[0][name]
+    rng = qrange(lin.spec.wbit, lin.spec.w_unsigned)
+    return float(res[1]) - float(rng.qmin)
+
+
 def stack_serving(model: Model):
     """(stack dict, meta tuple) for the whole-model kernel, or None."""
     from ..ops.model_fused import stack_decode_params
@@ -35,14 +56,22 @@ def stack_serving(model: Model):
     stack = stack_decode_params(model)
     if stack is None:
         return None
-    b0 = model.params["layers"][0]
-    meta = (b0["qkv_proj"].spec.wbit, _grp(b0["qkv_proj"]), _grp(b0["o_proj"]),
-            _grp(b0["gateup_proj"]), _grp(b0["down_proj"]))
+    layers = model.params["layers"]
+    b0 = layers[0]
+    def key(b):  # w_unsigned included: _zconst shifts by layer-0's qmin
+        return (b["qkv_proj"].spec.wbit, b["qkv_proj"].spec.w_unsigned,
+                _grp(b["qkv_proj"]), _grp(b["o_proj"]),
+                _grp(b["gateup_proj"]), _grp(b["down_proj"]))
+
     # homogeneity check: every layer must share the meta
-    for b in model.params["layers"][1:]:
-        if (b["qkv_proj"].spec.wbit, _grp(b["qkv_proj"]), _grp(b["o_proj"]),
-                _grp(b["gateup_proj"]), _grp(b["down_proj"])) != meta:
+    for b in layers[1:]:
+        if key(b) != key(b0):
             return None
+    k0 = key(b0)
+    meta = (k0[0],) + k0[2:]
+    meta = meta + tuple(
+        _zconst(layers, n)
+        for n in ("qkv_proj", "o_proj", "gateup_proj", "down_proj"))
     return stack, meta
 
 
