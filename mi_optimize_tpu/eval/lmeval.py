@@ -75,12 +75,15 @@ class LMEvalModel:
         return list(encode_ids(self.tokenizer, text)[0])
 
     def _ll_tokens(self, ctx_tokens: List[int], cont_tokens: List[int]) -> Tuple[float, bool]:
-        ids = (ctx_tokens + cont_tokens)[-self.max_length:]
+        # reference feeds (ctx+cont)[-(max_length+1):][:-1] (lmeval.py:118) —
+        # the final continuation token needs only its *predecessor's* logits
+        ids = (ctx_tokens + cont_tokens)[-(self.max_length + 1):]
         nctx = len(ids) - len(cont_tokens)
         L = len(ids)
-        B = _bucket(L, self.max_length)
+        inp = ids[:-1]
+        B = _bucket(len(inp), self.max_length)
         padded = np.zeros((1, B), np.int64)
-        padded[0, :L] = ids
+        padded[0, :len(inp)] = inp
         lp = np.asarray(_token_logprobs(self.model.params, self.model.config,
                                         jnp.asarray(padded), self.fused)[0])
         # logprob of token t given prefix ids[:t] lives at position t-1
@@ -102,16 +105,33 @@ class LMEvalModel:
             out.append(self._ll_tokens(ctx_t, cont_t))
         return reorder.get_original(out)
 
+    def _rolling_windows(self, toks: List[int]):
+        """get_rolling_token_windows(context_len=1) + make_disjoint_window
+        (reference lmeval.py:71-95): every token of the doc is scored exactly
+        once, the first behind a BOS prefix token."""
+        prefix = getattr(self.tokenizer, "bos_token_id", None)
+        if prefix is None:
+            prefix = 0
+        max_len = self.max_length
+        if not toks:
+            return
+        first = min(max_len, len(toks))
+        yield [prefix], toks[:first]
+        predicted = first
+        while predicted < len(toks):
+            wpl = min(len(toks) - predicted, max_len)
+            end = predicted + wpl
+            ctx_full = toks[max(0, end - max_len - 1): end - 1]
+            yield ctx_full[: len(ctx_full) - (wpl - 1)], toks[end - wpl: end]
+            predicted += wpl
+
     def loglikelihood_rolling(self, requests: Sequence[str]):
         out = []
         for text in requests:
             toks = self._enc(text)
             ll = 0.0
-            for start in range(0, len(toks), self.max_length - 1):
-                window = toks[start : start + self.max_length]
-                if len(window) < 2:
-                    break
-                ll += self._ll_tokens(window[:1], window[1:])[0]
+            for ctx, cont in self._rolling_windows(toks):
+                ll += self._ll_tokens(ctx, cont)[0]
             out.append(ll)
         return out
 
@@ -212,7 +232,8 @@ def register_task(name):
 
 
 def evaluate_tasks(model: Model, tokenizer, eval_tasks, num_shot=0, fused=True,
-                   max_docs=None, seed=1234) -> Dict[str, Dict[str, float]]:
+                   max_docs=None, seed=1234,
+                   allow_empty=False) -> Dict[str, Dict[str, float]]:
     from . import lmeval_tasks  # noqa: F401  (registry side-effect)
 
     if isinstance(eval_tasks, str):
@@ -225,6 +246,15 @@ def evaluate_tasks(model: Model, tokenizer, eval_tasks, num_shot=0, fused=True,
             raise ValueError(f"unknown lm-eval task {name!r}; have {sorted(TASK_REGISTRY)}")
         task = TASK_REGISTRY[name]()
         docs = task.docs()
+        if not docs:
+            # never let a run "succeed" while evaluating nothing
+            if not allow_empty:
+                raise RuntimeError(
+                    f"lm-eval task {name!r} produced 0 docs (dataset missing/"
+                    "offline?); pass allow_empty=True to record n=0 instead")
+            results[name] = {"n": 0}
+            log.warning("lmeval[%s] had no docs — recorded n=0", name)
+            continue
         if max_docs:
             docs = docs[:max_docs]
         metrics = []
@@ -238,6 +268,6 @@ def evaluate_tasks(model: Model, tokenizer, eval_tasks, num_shot=0, fused=True,
             else:
                 res = lm.greedy_until(reqs)
             metrics.append(task.process_results(doc, res))
-        results[name] = task.aggregate(metrics)
+        results[name] = dict(task.aggregate(metrics), n=len(metrics))
         log.info("lmeval[%s] = %s", name, results[name])
     return results

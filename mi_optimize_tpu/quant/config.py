@@ -63,6 +63,7 @@ class QuantConfig:
     # SpQR
     outlier_relative_threshold: float = 0.2
     qq_scale_bits: int = 3
+    qq_zero_bits: int = 3
     qq_groupsize: int = 16
     # QuIP
     qfn: str = "a"

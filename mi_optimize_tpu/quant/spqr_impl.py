@@ -201,7 +201,7 @@ def average_bits(cfg: QuantConfig, n_outliers: float, numel: int) -> float:
     """Reference get_average_number_of_bits (:360-391), round_zero=False."""
     w = cfg.wbit.bits
     g = cfg.w_groupsize if cfg.w_groupsize > 0 else 16
-    avg = w + (cfg.qq_scale_bits + cfg.qq_scale_bits) / g \
+    avg = w + (cfg.qq_scale_bits + cfg.qq_zero_bits) / g \
         + 2 * (16 + 16) / (g * cfg.qq_groupsize)
     share = n_outliers / max(numel, 1)
     return round(avg + 32 * share, 2)

@@ -31,6 +31,47 @@ def test_loglikelihood_executor_consistency():
     assert abs(ll - expect) < 1e-3
 
 
+def test_rolling_windows_protocol():
+    """Reference get_rolling_token_windows(context_len=1)+make_disjoint_window
+    semantics (lmeval.py:73-95): continuations partition the doc (EVERY token
+    scored exactly once, incl. the first behind a BOS prefix)."""
+    from mi_optimize_tpu.eval.lmeval import LMEvalModel
+
+    m = tiny()
+    lm = LMEvalModel(m, ByteTokenizer(), fused=False, max_length=8)
+    toks = list(range(1, 21))  # 20 tokens, max_length 8
+    windows = list(lm._rolling_windows(toks))
+    # continuations partition the doc
+    assert sum((c for _, c in windows), []) == toks
+    # first window: [bos] context, full first chunk scored
+    assert len(windows[0][0]) == 1 and windows[0][1] == toks[:8]
+    # later windows: context abuts the continuation and the model input
+    # (ctx+cont)[:-1] fills up to max_length tokens (reference pred_len calc)
+    for ctx, cont in windows[1:]:
+        assert ctx[-1] == toks[toks.index(cont[0]) - 1]
+        assert len(ctx) + len(cont) == 9  # == max_length + 1
+
+
+def test_rolling_ll_matches_hand_computed_nll():
+    """Summed rolling ll == teacher-forced NLL of [bos]+doc from a raw forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from mi_optimize_tpu.eval.lmeval import LMEvalModel
+    from mi_optimize_tpu.models import llama
+
+    m = tiny()
+    tok = ByteTokenizer()
+    lm = LMEvalModel(m, tok, fused=False, max_length=64)
+    text = "The quick brown fox"
+    (ll,) = lm.loglikelihood_rolling([text])
+    ids = [getattr(tok, "bos_token_id", 0) or 0] + list(tok.encode(text))
+    logits = llama.forward(m.params, m.config, jnp.asarray([ids[:-1]]), fused=False)
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+    expect = sum(float(lp[0, t - 1, ids[t]]) for t in range(1, len(ids)))
+    assert abs(ll - expect) < 1e-3
+
+
 def test_greedy_until_stops():
     from mi_optimize_tpu.eval.lmeval import LMEvalModel
 
