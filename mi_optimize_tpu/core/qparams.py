@@ -29,6 +29,31 @@ GRANULARITIES = ("per_tensor", "per_channel", "per_group", "per_dimension", "per
 _EPS = 1e-12
 
 
+def exact_div(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """f32 division refined to the correctly-rounded quotient.
+
+    XLA may lower a division as reciprocal-multiply inside fusions (always on
+    TPU, and on CPU inside scan/map bodies), which is off by ~2 ulp from the
+    true f32 quotient that a strict division (torch) computes. Quantization
+    rounds these quotients at EXACT half-integer boundaries — a clipped
+    symmetric group has -min/scale ≈ (qmax+1)/2 — so 2 ulp flips the rounded
+    integer and breaks bit-parity with the reference. One residual step
+    (r += (x - r·y)/y) collapses the error to <0.5 ulp, reproducing the
+    strict quotient deterministically regardless of how XLA lowers the
+    divisions. The optimization_barrier stops XLA's algebraic simplifier from
+    folding the correction back into a single (reciprocal) division —
+    measured: without it the flips return."""
+    import jax
+
+    r = jax.lax.optimization_barrier(x / y)
+    return r + (x - r * y) / y
+
+
+def div_round(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """round-half-to-even of the correctly-rounded f32 quotient x/y."""
+    return jnp.round(exact_div(x, y))
+
+
 class QRange(NamedTuple):
     qmin: int
     qmax: int
@@ -58,20 +83,20 @@ def find_qparams(
     x_max = jnp.asarray(x_max, compute_dtype)
     if symmetric:
         max_abs = jnp.maximum(jnp.abs(x_max), jnp.abs(x_min))
-        scale = max_abs / ((rng.qmax - rng.qmin) // 2)
+        scale = exact_div(max_abs, jnp.float32((rng.qmax - rng.qmin) // 2))
         scale = jnp.maximum(scale, _EPS)
         zp_val = 0 if rng.qmin < 0 else (1 << (rng.bits - 1))
         zero = jnp.full_like(scale, zp_val)
     else:
-        scale = (x_max - x_min) / (rng.qmax - rng.qmin)
+        scale = exact_div(x_max - x_min, jnp.float32(rng.qmax - rng.qmin))
         scale = jnp.maximum(scale, _EPS)
-        zero = rng.qmin - jnp.round(x_min / scale)
+        zero = rng.qmin - div_round(x_min, scale)
     return scale, zero
 
 
 def quantize(x, scale, zero, rng: QRange) -> jnp.ndarray:
     """Real-valued x -> integer grid (kept in float for downstream math)."""
-    q = jnp.round(jnp.asarray(x, jnp.float32) / scale) + zero
+    q = div_round(jnp.asarray(x, jnp.float32), scale) + zero
     return jnp.clip(q, rng.qmin, rng.qmax)
 
 

@@ -33,6 +33,8 @@ from ..models.quant_linear import QuantizedLinear
 from .common import build_quantized_linear
 from .config import QuantConfig
 
+from ..core.qparams import div_round, exact_div
+
 
 def pseudo_quantize(w, n_bit, zero_point, groupsize, return_qparams=False):
     """Reference pseudo_quantize_tensor (:39-84); w [..., ci] grouped on last dim."""
@@ -43,16 +45,16 @@ def pseudo_quantize(w, n_bit, zero_point, groupsize, return_qparams=False):
         mx = w2.max(axis=1, keepdims=True)
         mn = w2.min(axis=1, keepdims=True)
         max_int = 2 ** n_bit - 1
-        scales = jnp.clip(mx - mn, 1e-5, None) / max_int
-        zeros = jnp.clip(-jnp.round(mn / scales), 0, max_int)
-        q = jnp.clip(jnp.round(w2 / scales) + zeros, 0, max_int)
+        scales = exact_div(jnp.clip(mx - mn, 1e-5, None), jnp.float32(max_int))
+        zeros = jnp.clip(-div_round(mn, scales), 0, max_int)
+        q = jnp.clip(div_round(w2, scales) + zeros, 0, max_int)
         dq = (q - zeros) * scales
     else:
         amax = jnp.clip(jnp.abs(w2).max(axis=1, keepdims=True), 1e-5, None)
         max_int = 2 ** (n_bit - 1) - 1
-        scales = amax / max_int
+        scales = exact_div(amax, jnp.float32(max_int))
         zeros = jnp.zeros_like(scales)
-        q = jnp.clip(jnp.round(w2 / scales), -(2 ** (n_bit - 1)), max_int)
+        q = jnp.clip(div_round(w2, scales), -(2 ** (n_bit - 1)), max_int)
         dq = q * scales
     dq = dq.reshape(org_shape)
     if return_qparams:
@@ -86,8 +88,22 @@ def auto_scale_search(w, x, x_mean_abs, *, n_bit, groupsize, zero_point, n_grid=
         return loss, s
 
     losses, scales = jax.lax.map(eval_ratio, ratios)
-    best = jnp.argmin(losses)
+    best = _first_within_eps(losses)
     return scales[best]
+
+
+def _first_within_eps(errs, axis=0, rel=1e-5):
+    """Index of the EARLIEST candidate within `rel` of the minimum.
+
+    The reference keeps the first strict minimum (err < best). Grid
+    neighbours often leave the quantized values unchanged, so their true
+    errors are EQUAL and only reduction-order float noise separates them —
+    a plain argmin then flips between frameworks. Treating near-equal as
+    equal and taking the earliest reproduces the reference's tie-breaking
+    wherever the true values aren't genuinely within tolerance."""
+    m = errs.min(axis=axis, keepdims=True)
+    good = errs <= m * (1.0 + rel) + 1e-12
+    return jnp.argmax(good, axis=axis)
 
 
 @partial(jax.jit, static_argnames=("n_bit", "groupsize", "zero_point", "n_grid", "max_shrink"))
@@ -110,7 +126,7 @@ def auto_clip_search(w, x_sample, *, n_bit, groupsize, zero_point, n_grid=20, ma
 
     shrinks = jnp.arange(int(max_shrink * n_grid), dtype=jnp.float32)
     errs, mvs = jax.lax.map(eval_shrink, shrinks)  # [S, oc, ng]
-    best = jnp.argmin(errs, axis=0)  # [oc, ng]
+    best = _first_within_eps(errs, axis=0)  # [oc, ng]
     return jnp.take_along_axis(mvs, best[None], axis=0)[0]  # [oc, ng]
 
 

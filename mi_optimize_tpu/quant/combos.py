@@ -34,7 +34,7 @@ def _gptq_on(cfg, lin, W_smoothed, stats, smooth):
         blocksize=min(cfg.blocksize, lin.in_features),
         groupsize=groupsize,
         actorder=cfg.actorder,
-        symmetric=not cfg.w_has_zero,
+        symmetric=cfg.w_qscheme == "symmetric",
         percdamp=cfg.percdamp,
     )
     w_qtype = "per_group" if groupsize > 0 else "per_channel"

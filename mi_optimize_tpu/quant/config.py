@@ -53,6 +53,11 @@ class QuantConfig:
     blocksize: int = 128
     percdamp: float = 0.01
     actorder: bool = True
+    # GPTQ weight scheme: 'affine' (asymmetric — the reference's
+    # torch.per_channel_affine observer default, GPTQQuantizer.py:13) or
+    # 'symmetric'. GPTQ-family ignores w_has_zero, like the reference (its
+    # **kwarg catch-all swallows it).
+    w_qscheme: str = "affine"
     # SmoothQuant
     alpha: float = 0.5
     quant_out: bool = False
@@ -65,8 +70,8 @@ class QuantConfig:
     qq_scale_bits: int = 3
     qq_zero_bits: int = 3
     qq_groupsize: int = 16
-    # QuIP
-    qfn: str = "a"
+    # QuIP ('b' is the reference default, QuIPQuantizer.py:18)
+    qfn: str = "b"
     # FP8
     fp8_format: str = "e4m3"
     # which linears to quantize (regex include/exclude like replace_module)
@@ -79,6 +84,8 @@ class QuantConfig:
         self.abit = as_precision(self.abit)
         if self.quantization_type not in ("static", "dynamic"):
             raise ValueError(f"quantization_type must be static|dynamic, got {self.quantization_type}")
+        if self.w_qscheme not in ("affine", "symmetric"):
+            raise ValueError(f"w_qscheme must be affine|symmetric, got {self.w_qscheme}")
 
     @property
     def quantize_weights(self) -> bool:

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.qparams import div_round, exact_div
 from ..models.quant_linear import QuantizedLinear
 from .base import BaseAlgo, finalize_hessian, register_algo
 from .common import build_quantized_linear
@@ -59,17 +60,17 @@ def observer_qparams(w: jnp.ndarray, bits: int, symmetric: bool):
     mx = jnp.maximum(w.max(axis=-1), 0.0)
     if symmetric:
         amax = jnp.maximum(-mn, mx)
-        scale = jnp.maximum(amax / (qmax / 2.0), 1e-9)
+        scale = jnp.maximum(exact_div(amax, jnp.float32(qmax / 2.0)), 1e-9)
         zero = jnp.full_like(scale, float((2 ** bits) // 2))
     else:
-        scale = jnp.maximum((mx - mn) / qmax, 1e-9)
-        zero = jnp.clip(-jnp.round(mn / scale), 0.0, qmax)
+        scale = jnp.maximum(exact_div(mx - mn, jnp.float32(qmax)), 1e-9)
+        zero = jnp.clip(-div_round(mn, scale), 0.0, qmax)
     return scale, zero
 
 
 def _fake_quant_col(w, scale, zero, bits):
     qmax = float(2 ** bits - 1)
-    q = jnp.clip(jnp.round(w / scale) + zero, 0.0, qmax)
+    q = jnp.clip(div_round(w, scale) + zero, 0.0, qmax)
     return (q - zero) * scale
 
 
@@ -247,7 +248,7 @@ class GPTQAlgo(BaseAlgo):
             blocksize=min(cfg.blocksize, lin.in_features),
             groupsize=groupsize,
             actorder=cfg.actorder,
-            symmetric=not cfg.w_has_zero,
+            symmetric=cfg.w_qscheme == "symmetric",
             percdamp=cfg.percdamp,
         )
         w_qtype = "per_group" if groupsize > 0 else "per_channel"

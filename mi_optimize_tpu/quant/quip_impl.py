@@ -152,8 +152,14 @@ def quip_quantize_matrix(
     percdamp: float = 0.01,
     incoh: bool = True,
     seed: int = 0,
+    U: jnp.ndarray = None,
+    V: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """Full QuIP pipeline on one weight matrix; returns fake-quant weights."""
+    """Full QuIP pipeline on one weight matrix; returns fake-quant weights.
+
+    `U`/`V` override the internally-drawn random orthogonal butterflies —
+    used by the reference-parity tests to feed both pipelines identical
+    transforms (the randomness is the only non-deterministic step)."""
     m, n = W.shape
     W = W.astype(jnp.float32)
     H = H.astype(jnp.float32)
@@ -168,9 +174,13 @@ def quip_quantize_matrix(
         W = W * scaleWH[None, :]
         H = H / scaleWH[None, :] / scaleWH[:, None]
         # --- orthogonal projection (:108-126)
-        rng = np.random.default_rng(seed)
-        U = jnp.asarray(rand_ortho_butterfly(rng, m))
-        V = jnp.asarray(rand_ortho_butterfly(rng, n))
+        if U is None or V is None:
+            rng = np.random.default_rng(seed)
+            U = jnp.asarray(rand_ortho_butterfly(rng, m))
+            V = jnp.asarray(rand_ortho_butterfly(rng, n))
+        else:
+            U = jnp.asarray(U, jnp.float32)
+            V = jnp.asarray(V, jnp.float32)
         H = H * (n / (jnp.trace(H) + 1e-8)) + 1e-2 * jnp.eye(n, dtype=jnp.float32)
         W = U @ W @ V.T
         H = V @ H @ V.T

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.qparams import exact_div
 from ..models.quant_linear import QuantizedLinear
 from .base import finalize_hessian
 from .common import make_weight_spec
@@ -48,17 +49,17 @@ def _find_params_rows(x2d, bits, sym):
     deg = mn == mx
     mn = jnp.where(deg, -1.0, mn)
     mx = jnp.where(deg, 1.0, mx)
-    scale = (mx - mn) / maxq
+    scale = exact_div(mx - mn, jnp.float32(maxq))
     if sym:
         zero = jnp.full_like(scale, (maxq + 1) / 2)
     else:
-        zero = -mn / scale
+        zero = -exact_div(mn, scale)
     return scale, zero
 
 
 def _quant(x, scale, zero, bits):
     maxq = float(2 ** bits - 1)
-    q = jnp.clip(jnp.round(x / jnp.clip(scale, _EPS, None) + zero), 0.0, maxq)
+    q = jnp.clip(jnp.round(exact_div(x, jnp.clip(scale, _EPS, None)) + zero), 0.0, maxq)
     return scale * (q - zero)
 
 
@@ -115,7 +116,8 @@ def spqr_quantize_matrix(
     U = jnp.linalg.cholesky(Hinv).T  # upper, Hinv = U^T U
     d = jnp.diag(U)
 
-    thr = rel_threshold * jnp.mean(jnp.var(W, axis=0) / jnp.clip(d, _EPS, None) ** 2)
+    # torch .var() is UNBIASED (ddof=1) — SpqrQuantizer.py:205 outlier_scale
+    thr = rel_threshold * jnp.mean(jnp.var(W, axis=0, ddof=1) / jnp.clip(d, _EPS, None) ** 2)
 
     ngroups = cols // groupsize
     loo_idx = np.arange(groupsize)[1:][None, :] - (

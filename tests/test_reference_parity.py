@@ -293,3 +293,170 @@ def test_spqr_find_params_parity(ref):
     q_ours = np.asarray(_quant(jnp.asarray(w), np.asarray(s_ours)[:, None],
                                np.asarray(z_ours)[:, None], 4))
     np.testing.assert_allclose(q_ours, q_ref, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# full-pipeline algorithm parity (VERDICT r1 item 7): AWQ search, SpQR loop,
+# QuIP pipeline — the ACTUAL reference implementations on identical inputs
+# ---------------------------------------------------------------------------
+
+def test_awq_full_search_parity(ref):
+    """Reference LinearAwqQuantizer.quantize() — 20-pt ratio grid + per-group
+    clip search + final asym per-group pack (AWQQuantizer.py:85-230) — vs our
+    auto_scale_search/auto_clip_search/pseudo_quantize chain on the SAME
+    tracked inputs. out_features=256 because the reference's auto_clip asserts
+    out % 256 == 0 (:160)."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from mi_optimize.quantization import Precision
+
+    from mi_optimize_tpu.quant.awq_impl import (auto_clip_search,
+                                                auto_scale_search,
+                                                pseudo_quantize)
+
+    hub = FakeHub(torch, 256, 32, seed=20)
+    g = torch.Generator().manual_seed(21)
+    xs = [torch.randn(1, 8, 32, generator=g) for _ in range(3)]
+    hub.core.input_tracks = [[x] for x in xs]
+    awq = ref.LinearAwqQuantizer(hub, wbit=Precision.INT4, device="cpu",
+                                 offload="cpu", w_groupsize=16)
+    # quantize() mutates core.weight via the apply_scale detach-alias
+    W = hub.core.weight.detach().clone().numpy()
+    awq.quantize()
+    ref_fake = awq.fake_w.detach().numpy()
+    ref_smooth = awq.smooth_factor.detach().numpy().reshape(-1)
+
+    x = np.concatenate([t.reshape(-1, 32).numpy() for t in xs], 0)
+    x_mean_abs = np.abs(x).mean(0)
+    smooth = auto_scale_search(jnp.asarray(W), jnp.asarray(x), jnp.asarray(x_mean_abs),
+                               n_bit=4, groupsize=16, zero_point=True, n_grid=20)
+    np.testing.assert_allclose(np.asarray(smooth), ref_smooth, rtol=1e-4, atol=1e-6)
+    Q = jnp.asarray(W) * smooth[None, :]
+    clip = auto_clip_search(Q, (jnp.asarray(x) / smooth[None, :])[:1],
+                            n_bit=4, groupsize=16, zero_point=True)
+    oc, ci = Q.shape
+    ng = ci // 16
+    Qc = jnp.clip(Q.reshape(oc, ng, 16), -clip[:, :, None], clip[:, :, None]).reshape(oc, ci)
+    fake = pseudo_quantize(Qc, 4, True, 16)
+    # the smoothed weight W·s differs between frameworks at the ulp level
+    # (torch vs XLA pow/sqrt in the scale chain); quantization discontinuities
+    # turn a 1-ulp input change into a different (equally valid) clip choice
+    # for a few [oc, group] cells — tolerate <2% of elements
+    mism = np.mean(~np.isclose(np.asarray(fake), ref_fake, rtol=1e-4, atol=1e-5))
+    assert mism < 0.02, f"{mism:.3%} of AWQ fake weights differ"
+
+
+def test_spqr_full_loop_parity(ref):
+    """Reference LinearSpqrQuantizer.quantize() — GPTQ-style loop + LOO outlier
+    detection + double quantization (SpqrQuantizer.py:169-330) — vs our
+    spqr_quantize_matrix with identical W and H.
+
+    The reference ctor cannot run as written: super().__init__(..., wbit=...)
+    mismatches BaseQuantizer(w_bits=...) (SpqrQuantizer.py:15 vs base.py:2),
+    a latent reference bug — so the kwarg is shimmed to let the REAL ctor body
+    (and the real quantize loop) execute."""
+    import torch
+
+    import jax.numpy as jnp
+
+    import mi_optimize.quantization.quantizer.base as RB
+    from mi_optimize.quantization import Precision
+
+    from mi_optimize_tpu.quant.spqr_impl import spqr_quantize_matrix
+
+    orig_init = RB.BaseQuantizer.__init__
+
+    def shim(self, qhl, *a, **kw):
+        if "wbit" in kw:
+            kw["w_bits"] = kw.pop("wbit")
+        if "abit" in kw:
+            kw["a_bits"] = kw.pop("abit")
+        orig_init(self, qhl, *a, **kw)
+
+    RB.BaseQuantizer.__init__ = shim
+    try:
+        hub = FakeHub(torch, 16, 32, seed=22)
+        X, H = _hessian(torch, 32, seed=23)
+        hub.core.H = H.clone()
+        W = hub.core.weight.detach().clone().numpy()
+        sq = ref.LinearSpqrQuantizer(hub, w_groupsize=16, wbit=Precision.INT4,
+                                     device="cpu", offload="cpu")
+        sq.quantize()
+        ref_Q = sq.Q.detach().float().numpy()
+        ref_outliers = 0.0
+    finally:
+        RB.BaseQuantizer.__init__ = orig_init
+
+    Q, scales, zeros, n_out = spqr_quantize_matrix(
+        jnp.asarray(W), jnp.asarray(H.numpy()),
+        bits=4, blocksize=32, groupsize=16, qq_bits=3, qq_groupsize=16,
+        sym=False, percdamp=0.01, rel_threshold=0.2)
+    mismatch = np.mean(~np.isclose(np.asarray(Q), ref_Q, rtol=1e-4, atol=1e-4))
+    assert mismatch < 0.02, f"{mismatch:.3%} of SpQR weights differ"
+
+
+def test_quip_pipeline_parity(ref):
+    """Reference QuIPQuantizer.quantize() — incoherence preproc (rescale +
+    orthogonal butterfly projection), qfn='b' grid, round_ldl_gptqequiv,
+    postproc inverse (QuIPQuantizer.py:91-410) — vs our quip_quantize_matrix.
+    Both sides are fed the SAME orthogonal U/V (the only random step); the
+    stubbed primefac module is swapped for a real prime factorization so the
+    reference butterfly code runs genuinely."""
+    import types as _types
+
+    import torch
+
+    import jax.numpy as jnp
+
+    # `import a.b.QuIPQuantizer as RQ` would bind the CLASS (the package's
+    # `from .QuIPQuantizer import *` shadows the submodule) — use sys.modules
+    import mi_optimize.quantization.quantizer  # noqa: F401
+    RQ = sys.modules["mi_optimize.quantization.quantizer.QuIPQuantizer"]
+    from mi_optimize.quantization import Precision
+
+    from mi_optimize_tpu.quant.quip_impl import (quip_quantize_matrix,
+                                                 rand_ortho_butterfly)
+
+    real_pf = _types.ModuleType("primefac")
+
+    def _pf(n):
+        d = 2
+        while d * d <= n:
+            while n % d == 0:
+                yield d
+                n //= d
+            d += 1
+        if n > 1:
+            yield n
+
+    real_pf.primefac = _pf
+    old_pf = RQ.primefac
+    RQ.primefac = real_pf
+    try:
+        m_, n_ = 16, 32
+        hub = FakeHub(torch, m_, n_, seed=24)
+        g = torch.Generator().manual_seed(25)
+        X = torch.randn(64, n_, generator=g)
+        Hsum = (X.T @ X).to(torch.float64)  # QuIP hook: H = ΣXᵀX fp64 (utils.py:74-102)
+        hub.core.H = Hsum.clone()
+        hub.core.nsamples = 1
+        W = hub.core.weight.detach().clone().numpy()
+        q = ref.QuIPQuantizer(hub, wbit=Precision.INT4, device="cpu", offload="cpu")
+        rng = np.random.default_rng(42)
+        U = rand_ortho_butterfly(rng, m_)
+        V = rand_ortho_butterfly(rng, n_)
+        q.rand_ortho_butterfly = lambda n: torch.tensor(U if n == m_ else V)
+        q.quantize()
+        ref_Q = q.Q.value.detach().float().numpy()
+    finally:
+        RQ.primefac = old_pf
+
+    ours = quip_quantize_matrix(
+        jnp.asarray(W), jnp.asarray(Hsum.numpy().astype(np.float32)),
+        bits=4, qfn="b", percdamp=0.01, incoh=True, U=U, V=V)
+    mismatch = np.mean(~np.isclose(np.asarray(ours), ref_Q, rtol=1e-3, atol=1e-4))
+    assert mismatch < 0.02, f"{mismatch:.3%} of QuIP weights differ"
+    np.testing.assert_allclose(np.asarray(ours), ref_Q,
+                               atol=np.abs(ref_Q).max() * 0.35)
