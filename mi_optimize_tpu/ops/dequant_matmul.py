@@ -134,11 +134,7 @@ def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, ng_tile, tk, nk
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("bits", "groupsize", "qmin", "out_features", "in_features", "interpret"),
-)
-def packed_matmul(
+def _packed_matmul_local(
     x: jnp.ndarray,
     packed_t: jnp.ndarray,
     scales_t: jnp.ndarray,
@@ -147,8 +143,6 @@ def packed_matmul(
     bits: int,
     groupsize: int,
     qmin: int,
-    out_features: int,
-    in_features: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """y[M,N] = x[M,K] @ dequant(packed)^T with fused in-VMEM dequantization.
@@ -156,10 +150,12 @@ def packed_matmul(
     packed_t: uint32 [K·bits/32, N] (words-major); scales_t/zeros_t: [ngroups, N].
     groupsize <= 0 means per-channel (one group spanning K). `qmin` biases the
     stored unsigned field back onto the signed grid when w_unsign=False.
+
+    Shapes here are LOCAL (per-shard) — under tensor parallelism this body runs
+    inside `custom_partitioning`'s per-device lowering (see `packed_matmul`).
     """
     M, K = x.shape
-    N = out_features
-    assert K == in_features
+    N = packed_t.shape[1]
     g = groupsize if groupsize > 0 else K
     # zero-point seen by the kernel absorbs the storage bias (stored = q - qmin);
     # folded with the scale into the FMA dequant bias -(zero-qmin)*scale
@@ -188,8 +184,10 @@ def packed_matmul(
     # pre-expand scales per K tile into 8-row-aligned blocks: row r of tile k
     # holds group (k·TK)//g + r; unused pad rows are never read by the kernel
     R = max(8, -(-ng_tile // 8) * 8)
-    src = np.minimum(
-        (np.arange(nk)[:, None] * TK) // g + np.arange(R)[None, :], ngroups - 1
+    # jnp.arange (lax.iota) rather than np: custom_partitioning's per-shard
+    # trace rejects captured non-scalar constants (no jaxpr consts allowed)
+    src = jnp.minimum(
+        (jnp.arange(nk)[:, None] * TK) // g + jnp.arange(R)[None, :], ngroups - 1
     ).reshape(-1)
     s_exp = s_t[src]  # [nk*R, N]
     z_exp = z_eff[src]
@@ -216,6 +214,160 @@ def packed_matmul(
         interpret=interpret,
     )(x, packed_t, s_exp, z_exp)
     return out
+
+
+# ---------------------------------------------------------------------------
+# GSPMD partitioning of the kernel (tensor parallelism of packed weights)
+# ---------------------------------------------------------------------------
+#
+# `pl.pallas_call` is opaque to the SPMD partitioner: with plain NamedSharding
+# annotations XLA would all-gather the packed operands around the kernel
+# instead of partitioning it. `custom_partitioning` + a Shardy sharding rule
+# teaches the partitioner the kernel's algebra so the per-device lowering runs
+# `_packed_matmul_local` directly on the local shards:
+#
+#   column-parallel (out-features on 'model'):
+#       packed [KW, N@model], scales/zeros [g, N@model], x replicated
+#       -> y [M, N@model], no collective
+#   row-parallel (in-features on 'model'):
+#       packed [KW@model, N], scales/zeros [g@model, N], x [M, K@model]
+#       -> local partial matmul + one psum over 'model'
+#   data-parallel batch: x [M@data, K] -> y [M@data, N], no collective
+#
+# The compound factors tie the THREE views of the contraction axis together —
+# x's K, packed's word axis KW = K·bits/32, and the scale group axis g = K/gs —
+# so sharding any one of them shards all three consistently (always on whole
+# 32-bit words and whole quant groups, per parallel/sharding.py's layout
+# contract).
+
+
+def _axes_of(spec_entry):
+    if spec_entry is None:
+        return ()
+    return spec_entry if isinstance(spec_entry, tuple) else (spec_entry,)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_packed_matmul(bits: int, groupsize: int, qmin: int, interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    vpw = 32 // bits
+
+    @custom_partitioning
+    def pm(x, packed_t, scales_t, zeros_t):
+        return _packed_matmul_local(
+            x, packed_t, scales_t, zeros_t,
+            bits=bits, groupsize=groupsize, qmin=qmin, interpret=interpret,
+        )
+
+    def partition(mesh, arg_shapes, result_shape):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        x_s, p_s, s_s, _ = [a.sharding for a in arg_shapes]
+
+        def spec2(s):
+            sp = list(getattr(s, "spec", P()) or P())
+            return sp + [None] * (2 - len(sp))
+
+        xsp, psp, ssp = spec2(x_s), spec2(p_s), spec2(s_s)
+        m_ax = xsp[0]
+        # out-features axes: union of packed/scales dim-1 shardings
+        n_axes = []
+        for e in (psp[1], ssp[1]):
+            for a in _axes_of(e):
+                if a not in n_axes:
+                    n_axes.append(a)
+        # contraction axes: union over x dim-1, packed dim-0, scales dim-0
+        k_axes = []
+        for e in (xsp[1], psp[0], ssp[0]):
+            for a in _axes_of(e):
+                if a not in k_axes:
+                    k_axes.append(a)
+        n_ax = tuple(n_axes) or None
+        k_ax = tuple(k_axes) or None
+
+        nshard = int(np.prod([mesh.shape[a] for a in (k_axes or [])]))
+        K = arg_shapes[0].shape[1]
+        ngroups = arg_shapes[2].shape[0]
+        if nshard > 1:
+            k_local = K // nshard
+            if (K % nshard or k_local % vpw
+                    or (groupsize > 0 and k_local % groupsize)
+                    or (ngroups > 1 and ngroups % nshard)):
+                raise ValueError(
+                    f"packed_matmul row-parallel shard of K={K} over {nshard} devices "
+                    f"does not align to whole 32-bit words / quant groups "
+                    f"(groupsize={groupsize}, ngroups={ngroups})")
+
+        s_k_ax = k_ax if ngroups > 1 else None
+        arg_shardings = (
+            NamedSharding(mesh, P(m_ax, k_ax)),
+            NamedSharding(mesh, P(k_ax, n_ax)),
+            NamedSharding(mesh, P(s_k_ax, n_ax)),
+            NamedSharding(mesh, P(s_k_ax, n_ax)),
+        )
+        out_sharding = NamedSharding(mesh, P(m_ax, n_ax))
+
+        def lower_fn(x, packed_t, scales_t, zeros_t):
+            y = _packed_matmul_local(
+                x, packed_t, scales_t, zeros_t,
+                bits=bits, groupsize=groupsize, qmin=qmin, interpret=interpret,
+            )
+            if k_ax is not None:
+                y = jax.lax.psum(y, k_ax)
+            return y
+
+        return mesh, lower_fn, out_sharding, arg_shardings
+
+    if groupsize > 0:
+        wpg = groupsize * bits // 32  # words per quant group
+        rule = "m (g wpg vpw), (g wpg) n, g n, g n -> m n"
+        pm.def_partition(
+            partition=partition,
+            sharding_rule=rule,
+            reduction_factors=("g", "wpg", "vpw"),
+            wpg=wpg, vpw=vpw,
+        )
+    else:
+        # per-channel/tensor: one group spans K; scales [1, N] replicate on K
+        rule = "m (kw vpw), kw n, u n, u n -> m n"
+        pm.def_partition(
+            partition=partition,
+            sharding_rule=rule,
+            reduction_factors=("kw", "vpw"),
+            need_replication_factors=("u",),
+            vpw=vpw,
+        )
+    return pm
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "groupsize", "qmin", "out_features", "in_features", "interpret"),
+)
+def packed_matmul(
+    x: jnp.ndarray,
+    packed_t: jnp.ndarray,
+    scales_t: jnp.ndarray,
+    zeros_t: jnp.ndarray,
+    *,
+    bits: int,
+    groupsize: int,
+    qmin: int,
+    out_features: int,
+    in_features: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Partition-aware fused dequant-matmul (see `_packed_matmul_local`).
+
+    Routed through `custom_partitioning` so tensor-parallel shardings of the
+    packed operands partition the Pallas kernel instead of all-gathering
+    around it; on a single device this lowers to the plain local kernel.
+    """
+    assert x.shape == (x.shape[0], in_features)
+    assert packed_t.shape[1] == out_features
+    return _partitioned_packed_matmul(bits, groupsize, qmin, interpret)(
+        x, packed_t, scales_t, zeros_t)
 
 
 def dequant_matmul(x: jnp.ndarray, qlin) -> jnp.ndarray:
