@@ -8,8 +8,8 @@ Protocol parity with the reference loaders
   * get_calibrate_loader dispatches on calibrate_config.name
 
 Offline stance: corpora resolve from MI_TPU_DATA_DIR, ./data, or (data-only)
-the read-only reference mount's bundled caches; C4 requires network and raises
-a clear error without it.
+the read-only reference mount's bundled caches; C4 reads allenai-layout
+json.gz shards from MI_TPU_DATA_DIR/c4 and raises a clear error without them.
 """
 from __future__ import annotations
 
@@ -25,15 +25,17 @@ from .tokenizer import encode_ids
 
 log = logging.getLogger(__name__)
 
-_SEARCH_DIRS = (
-    os.environ.get("MI_TPU_DATA_DIR", ""),
-    os.path.join(os.path.dirname(__file__), "..", "..", "data"),
-    "/root/reference/mi_optimize/datasets",
-)
+def _search_dirs():
+    # MI_TPU_DATA_DIR read per call (not at import) so tests/launchers can set it
+    return (
+        os.environ.get("MI_TPU_DATA_DIR", ""),
+        os.path.join(os.path.dirname(__file__), "..", "..", "data"),
+        "/root/reference/mi_optimize/datasets",
+    )
 
 
 def find_data_path(name: str) -> Optional[str]:
-    for d in _SEARCH_DIRS:
+    for d in _search_dirs():
         if not d:
             continue
         p = os.path.join(d, name)
@@ -102,22 +104,66 @@ def get_ptb(tokenizer, split="test", nsamples=128, seqlen=2048, seed=42, **kw):
     return _crops(ids, nsamples, seqlen, seed, split)
 
 
+def _c4_texts(local: str, split: str) -> List[str]:
+    """Texts from local allenai/c4-layout shards (en/c4-<split>-....json.gz or
+    a flat dir of .json.gz); the reference streams shard 0 of each split
+    (data_loader.py:44,60)."""
+    import glob
+    import gzip
+    import json
+
+    pats = (os.path.join(local, "en", f"c4-{split}*.json.gz"),
+            os.path.join(local, f"c4-{split}*.json.gz"),
+            os.path.join(local, "*.json.gz"))
+    for pat in pats:
+        files = sorted(glob.glob(pat))
+        if files:
+            break
+    else:
+        raise FileNotFoundError(f"no .json.gz shards under {local}")
+    texts = []
+    with gzip.open(files[0], "rt", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                texts.append(json.loads(line)["text"])
+    return texts
+
+
 def get_c4(tokenizer, split="validation", nsamples=128, seqlen=2048, seed=42, **kw):
+    """allenai/c4 semantics (reference data_loader.py:41-69):
+    train      -> per-sample: random doc with >= seqlen tokens, random crop
+    validation -> join first 1100 docs, contiguous seqlen chunks
+    Resolves offline from MI_TPU_DATA_DIR/c4 (json.gz shards, allenai layout).
+    """
     local = find_data_path("c4")
     if local is None:
         raise FileNotFoundError(
-            "C4 requires either network access or a local copy under "
-            "MI_TPU_DATA_DIR/c4 (json.gz shards as in allenai/c4)"
+            "C4 requires a local copy under MI_TPU_DATA_DIR/c4 "
+            "(json.gz shards as in allenai/c4)"
         )
-    from datasets import load_dataset
-
-    files = sorted(
-        os.path.join(local, f) for f in os.listdir(local) if f.endswith(".json.gz")
-    )
-    ds = load_dataset("json", data_files={split: files[:1]}, split=split)
-    texts = ds[:1100]["text"]
-    ids = encode_ids(tokenizer, " ".join(texts))
-    return _crops(ids, nsamples, seqlen, seed, "train" if split == "train" else "test")
+    texts = _c4_texts(local, split)
+    if split == "train":
+        rng = random.Random(seed)
+        encs = {}
+        out = []
+        for _ in range(int(nsamples)):
+            while True:
+                i = rng.randint(0, len(texts) - 1)
+                if i not in encs:
+                    encs[i] = encode_ids(tokenizer, texts[i])
+                if encs[i].shape[1] > seqlen:
+                    break
+            j = rng.randint(0, encs[i].shape[1] - seqlen - 1)
+            out.append(encs[i][:, j:j + seqlen])
+        return out
+    if split == "validation":
+        ids = encode_ids(tokenizer, " ".join(texts[:1100]))
+        if nsamples == "all":
+            nsamples = ids.shape[1] // seqlen + 1
+        return [ids[:, i * seqlen:(i + 1) * seqlen] for i in range(int(nsamples))
+                if i * seqlen < ids.shape[1]]
+    raise ValueError(f"unsupported c4 split {split!r}")
 
 
 def get_test_loader(dataset_name, tokenizer, seqlen=2048, nsamples=128, seed=42, split="test"):

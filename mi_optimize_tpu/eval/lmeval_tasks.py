@@ -533,3 +533,8 @@ class ANLIRound2(_ANLIBase):
 @register_task("anli_r3")
 class ANLIRound3(_ANLIBase):
     round = 3
+
+
+# generation / QA / bias / linguistic tasks live in their own module; import
+# for the registry side-effect so evaluate_tasks sees the full corpus
+from . import lmeval_gen_tasks  # noqa: E402,F401
