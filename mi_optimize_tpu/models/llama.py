@@ -232,13 +232,18 @@ def block_apply(
     # fused decode fast path: rope + int8-cache append + attention in ONE
     # Pallas kernel (ops/decode_attention.py) — the stock path below spends
     # ~8 small XLA ops on the same work, which dominates launch-bound decode
-    fuse_attn = (
-        fused and not capture and B == 1 and S == 1
+    _attn_ok = (
+        fused and not capture and S == 1
         and isinstance(kv_cache, dict)
-        and jnp.asarray(cache_index).ndim == 0
         and (cfg.rotary_dim in (-1, cfg.head_dim)) and not cfg.rope_interleaved
         and jax.default_backend() == "tpu"
     )
+    # NOTE: multi-slot (B>1) decode does NOT vmap this kernel — Mosaic rejects
+    # the batched SMEM position operand (block (1,) of an [B,1] smem array).
+    # The batched fast path is the whole-model megakernel instead
+    # (ops/model_fused.py::model_decode_mega_batch via serving.batching);
+    # B>1 without it uses the stock XLA attention below.
+    fuse_attn = _attn_ok and B == 1 and jnp.asarray(cache_index).ndim == 0
     if fuse_attn:
         from ..ops.decode_attention import fused_decode_attention
 

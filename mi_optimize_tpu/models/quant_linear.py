@@ -148,6 +148,24 @@ def quant_linear_apply(q: QuantizedLinear, x: jnp.ndarray, *, fused: bool = True
             if q.bias is not None:
                 y = y + q.bias
             return y.astype(in_dtype)
+        import os as _os
+
+        import numpy as _np
+
+        from ..ops.w4a8_matmul import supports_w4a8, w4a8_matmul
+        if (supports_w4a8(s) and int(_np.prod(x.shape[:-1])) >= 32
+                and _os.environ.get("MI_W4A8_INT") == "1"):
+            # W4A8 int-dot path, OPT-IN: measured on v5e (BENCH_DETAILS.md r2)
+            # the per-group int8 sub-dots are ~26% SLOWER than the fused f32
+            # dequant kernel at prefill shapes (fragmented [M,g]x[g,TN] dots
+            # vs one full-tile dot), and prefill already runs at the measured
+            # bf16 compute roofline — so the numerically-equivalent fake-quant
+            # route below stays the default (it is also what the reference's
+            # fake-quant semantics specify).
+            y = w4a8_matmul(x, q)
+            if q.bias is not None:
+                y = y + q.bias
+            return y.astype(in_dtype)
 
     x = _quant_activations(q, x)
     if q.packed is not None and fused and s.wbit in (4, 8):

@@ -566,3 +566,468 @@ def model_decode_mega(stack, x, cos, sin, cache, pos, cfg, meta, interpret=False
         stack["d"], stack["ds"], stack["dz"],
     )
     return x_out.reshape(x.shape), krows, vrows, ksr[:, 0], vsr[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# batched (B-slot) whole-model decode kernel — continuous batching fast path
+# ---------------------------------------------------------------------------
+#
+# The B=1 kernel above is the single-stream headline path; this variant decodes
+# B slots (one token each, independent positions) in the SAME launch, streaming
+# every weight block ONCE for all slots — the weight traffic that bounds decode
+# is amortized B-fold, so aggregate tokens/s approaches B x single-stream until
+# attention (per-slot KV reads) takes over.
+#
+# Differences from the B=1 kernel:
+#   * x / residual / accumulators carry B rows; matmul phases are unchanged
+#     dots with B-row lhs (the MXU is happier, if anything)
+#   * the flash phase is SLOT-MAJOR: B*nt grid steps, step -> (slot, t-block);
+#     per-slot live-prefix clamping via the prefetched positions vector
+#   * the KV cache is stored HEAD-TRANSPOSED [L, B, Hkv, T, D] so the per-slot
+#     block arrives as [Hkv, tb, D] and attention runs as ONE kv-head-batched
+#     dot_general instead of a python loop over heads
+#   * rope/init/softmax state updates are head-vectorized per slot (the
+#     kv->q head expansion rides an iota one-hot matmul)
+
+
+def _expand_mat(n_heads, n_kv_heads):
+    """[Hq, Hkv] 0/1 matrix with E[i, j] = (j == i // reps): E @ kv rows
+    repeats each kv head's row across its query-head group."""
+    reps = n_heads // n_kv_heads
+    r = jax.lax.broadcasted_iota(jnp.int32, (n_heads, n_kv_heads), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n_heads, n_kv_heads), 1)
+    return (c == r // reps).astype(jnp.float32)
+
+
+def _slot_rows(jl, bsz, per, total):
+    """[bsz, total] one-hot selecting rows b*per + jl for each slot b."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (bsz, total), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (bsz, total), 1)
+    return (c == r * per + jl).astype(jnp.float32)
+
+
+def _kernel_b(
+    # scalar prefetch: positions [B]
+    pos_ref,
+    # inputs (stacked along L where per-layer)
+    x_ref, n1_ref,
+    qkv_ref, qs_ref, qz_ref,
+    cos_ref, sin_ref,
+    ck_ref, cv_ref, ks_ref, vs_ref,
+    o_ref_w, os_ref, oz_ref,
+    n2_ref,
+    g_ref, u_ref, gus_ref, guz_ref,
+    d_ref, ds_ref, dz_ref,
+    # outputs
+    xo_ref, krow_ref, vrow_ref, ksrow_ref, vsrow_ref,
+    # scratch
+    x_sc, qkv_acc, attn_sc, oacc_sc, xmid_sc, h2_sc, mlp_acc,
+    q_sc, m_sc, l_sc, fa_sc,
+    *,
+    bsz, bits, hidden, q_dim, kv_dim, inter,
+    n_heads, n_kv_heads, head_dim,
+    g_qkv, g_o, g_gu, g_d, nq, no, ni, nt, tb, spl, n_layers,
+    tka, to_, ti,
+    out_dtype, rms_eps,
+    zc_qkv, zc_o, zc_gu, zc_d,
+):
+    l = pl.program_id(0)
+    jl = pl.program_id(1)
+    vpw = 32 // bits
+    n_qkv = q_dim + 2 * kv_dim
+    reps = n_heads // n_kv_heads
+    scale = 1.0 / float(np.sqrt(head_dim))
+    ntB = bsz * nt
+
+    @pl.when((l == 0) & (jl == 0))
+    def _():
+        x_sc[:] = x_ref[:].astype(jnp.float32)
+
+    # ---------------- phase 1: qkv_acc += h_tile @ Wqkv_tile  (B rows)
+    @pl.when(jl < nq)
+    def _qkv():
+        @pl.when(jl == 0)
+        def _():
+            qkv_acc[:] = jnp.zeros_like(qkv_acc)
+
+        xf = x_sc[:]                                     # [B, h]
+        rstd = jax.lax.rsqrt(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) + rms_eps)  # [B, 1]
+        xr = xf.reshape(bsz * (hidden // tka), tka)
+        nr = n1_ref[:].reshape(hidden // tka, tka)
+        xt = jax.lax.dot_general(_slot_rows(jl, bsz, hidden // tka,
+                                            bsz * (hidden // tka)), xr,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # [B, tka]
+        n1t = jax.lax.dot_general(_onehot_rows(jl, 1, hidden // tka), nr,
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        ht = (xt * rstd).astype(out_dtype)
+        ht = (ht * n1t.astype(out_dtype)).astype(jnp.float32)
+        hp = _perm_row(ht, vpw)                          # [B, tka] planar
+        if zc_qkv is None:
+            s, z, ge = _select_sz(qs_ref[:][0], qz_ref[:][0], jl, tka, g_qkv)
+        else:
+            s, ge = _select_s(qs_ref[:][0], jl, tka, g_qkv)
+            z = s * (-zc_qkv)
+        cn = 1024 if n_qkv % 1024 == 0 else n_qkv
+        for c in range(n_qkv // cn):
+            wq = _unpack_planar(qkv_ref[:][0][:, c * cn:(c + 1) * cn], bits)
+            wd = _dequant_planar(wq, s[:, c * cn:(c + 1) * cn],
+                                 z[:, c * cn:(c + 1) * cn], bits, ge, cn)
+            qkv_acc[:, c * cn:(c + 1) * cn] += jax.lax.dot_general(
+                hp, wd, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    # ---------------- phase 2a: rope + int8 KV rows + flash init (per slot,
+    # head-vectorized)
+    @pl.when(jl == nq)
+    def _attn_init():
+        E = _expand_mat(n_heads, n_kv_heads)
+        qkv = qkv_acc[:]                                  # [B, n_qkv]
+        for b in range(bsz):
+            cos = cos_ref[b:b + 1].astype(jnp.float32)    # [1, D]
+            sin = sin_ref[b:b + 1].astype(jnp.float32)
+            q = _rope_rows(qkv[b:b + 1, :q_dim].reshape(n_heads, head_dim),
+                           cos, sin)
+            k = _rope_rows(
+                qkv[b:b + 1, q_dim:q_dim + kv_dim].reshape(n_kv_heads, head_dim),
+                cos, sin)
+            v = qkv[b:b + 1, q_dim + kv_dim:].reshape(n_kv_heads, head_dim)
+
+            k_amax = jnp.clip(jnp.abs(k).max(axis=-1, keepdims=True), 1e-8, None)
+            v_amax = jnp.clip(jnp.abs(v).max(axis=-1, keepdims=True), 1e-8, None)
+            k_s = k_amax / 127.0
+            v_s = v_amax / 127.0
+            k_q = jnp.clip(jnp.round(k / k_s), -127, 127).astype(jnp.int8)
+            v_q = jnp.clip(jnp.round(v / v_s), -127, 127).astype(jnp.int8)
+            krow_ref[0, b] = k_q
+            vrow_ref[0, b] = v_q
+            ksrow_ref[0, b] = k_s.reshape(1, -1)
+            vsrow_ref[0, b] = v_s.reshape(1, -1)
+
+            rows = slice(b * n_heads, (b + 1) * n_heads)
+            q_sc[rows] = q
+            kd = jax.lax.dot_general(E, k_q.astype(jnp.float32) * k_s,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            vd = jax.lax.dot_general(E, v_q.astype(jnp.float32) * v_s,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            s_new = (q * kd).sum(-1, keepdims=True) * scale   # [Hq, 1]
+            m_sc[rows] = jnp.broadcast_to(s_new, (n_heads, head_dim))
+            l_sc[rows] = jnp.ones((n_heads, head_dim), jnp.float32)
+            fa_sc[rows] = vd
+
+    # ---------------- phase 2b: flash, slot-major over (slot, t-block)
+    @pl.when((jl > nq) & (jl <= nq + ntB))
+    def _attn_flash():
+        t_all = jl - (nq + 1)
+        b = t_all // nt
+        t = t_all % nt
+        pos_b = pos_ref[b]
+        boff = pl.multiple_of(b * n_heads, n_heads)
+
+        @pl.when(t * tb < pos_b)
+        def _():
+            # head-transposed cache block: [Hkv, tb, D]
+            k_blk = (ck_ref[:][0, 0].astype(jnp.float32)
+                     * ks_ref[:][0, 0][:, :, None])
+            v_blk = (cv_ref[:][0, 0].astype(jnp.float32)
+                     * vs_ref[:][0, 0][:, :, None])
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tb), 2)
+            hist = t * tb + lanes < pos_b                 # [1, 1, tb]
+            q_b = q_sc[pl.ds(boff, n_heads)]              # [Hq, D]
+            q_r = q_b.reshape(n_kv_heads, reps, head_dim)
+            s = jax.lax.dot_general(
+                q_r, k_blk, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale   # [Hkv, reps, tb]
+            s = jnp.where(hist, s, jnp.finfo(jnp.float32).min)
+            m_b = m_sc[pl.ds(boff, n_heads)]              # [Hq, D]
+            m_old = m_b.reshape(n_kv_heads, reps, head_dim)[..., :1]
+            m_new = jnp.maximum(m_old, s.max(axis=-1, keepdims=True))
+            corr_r = jnp.exp(m_old - m_new)               # [Hkv, reps, 1]
+            p = jnp.exp(s - m_new)
+            pv = jax.lax.dot_general(
+                p, v_blk, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)       # [Hkv, reps, D]
+            corr = jnp.broadcast_to(corr_r, (n_kv_heads, reps, head_dim)
+                                    ).reshape(n_heads, head_dim)
+            fa_sc[pl.ds(boff, n_heads)] = (
+                fa_sc[pl.ds(boff, n_heads)] * corr
+                + pv.reshape(n_heads, head_dim))
+            psum = jnp.broadcast_to(p.sum(axis=-1, keepdims=True),
+                                    (n_kv_heads, reps, head_dim)
+                                    ).reshape(n_heads, head_dim)
+            l_sc[pl.ds(boff, n_heads)] = (
+                l_sc[pl.ds(boff, n_heads)] * corr + psum)
+            m_sc[pl.ds(boff, n_heads)] = jnp.broadcast_to(
+                m_new, (n_kv_heads, reps, head_dim)).reshape(n_heads, head_dim)
+
+    # ---------------- phase 3: o_acc += attn_t @ Wo_t  (B rows)
+    @pl.when((jl > nq + ntB) & (jl <= nq + ntB + no))
+    def _oproj():
+        kt = jl - (nq + ntB + 1)
+
+        @pl.when(kt == 0)
+        def _():
+            oacc_sc[:] = jnp.zeros_like(oacc_sc)
+            out = fa_sc[:] / l_sc[:]                      # [B*Hq, D]
+            pm = _planar_mat(to_, vpw)
+            nchunk = q_dim // to_
+            for b in range(bsz):
+                flat = out[b * n_heads:(b + 1) * n_heads].reshape(1, q_dim)
+                for r in range(nchunk):
+                    attn_sc[b * nchunk + r:b * nchunk + r + 1, :] = \
+                        jax.lax.dot_general(
+                            flat[:, r * to_:(r + 1) * to_], pm,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+
+        nchunk = q_dim // to_
+        ap = jax.lax.dot_general(
+            _slot_rows(kt, bsz, nchunk, bsz * nchunk), attn_sc[:],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        if zc_o is None:
+            s, z, ge = _select_sz(os_ref[:][0], oz_ref[:][0], kt, to_, g_o)
+        else:
+            s, ge = _select_s(os_ref[:][0], kt, to_, g_o)
+            z = s * (-zc_o)
+        cn = 1024 if hidden % 1024 == 0 else hidden
+        for c in range(hidden // cn):
+            wq = _unpack_planar(o_ref_w[:][0][:, c * cn:(c + 1) * cn], bits)
+            wd = _dequant_planar(wq, s[:, c * cn:(c + 1) * cn],
+                                 z[:, c * cn:(c + 1) * cn], bits, ge, cn)
+            oacc_sc[:, c * cn:(c + 1) * cn] += jax.lax.dot_general(
+                ap, wd, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    # ---------------- phase 4: MLP tiles (B rows); last step updates residual
+    @pl.when(jl > nq + ntB + no)
+    def _mlp():
+        m = jl - (nq + ntB + no + 1)
+
+        @pl.when(m == 0)
+        def _():
+            xmid = x_sc[:] + oacc_sc[:]
+            xmid_sc[:] = xmid
+            rstd2 = jax.lax.rsqrt(
+                jnp.mean(xmid * xmid, axis=-1, keepdims=True) + rms_eps)
+            h2 = (xmid * rstd2).astype(out_dtype)
+            h2 = (h2 * n2_ref[:].reshape(1, hidden).astype(out_dtype)
+                  ).astype(jnp.float32)
+            pm = _planar_mat(CH, vpw)
+            for r in range(hidden // CH):
+                h2_sc[:, r * CH:(r + 1) * CH] = jax.lax.dot_general(
+                    h2[:, r * CH:(r + 1) * CH], pm, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            mlp_acc[:] = jnp.zeros_like(mlp_acc)
+
+        ngh = max(hidden // g_gu, 1)
+        g_eff = min(g_gu, CH)
+        ngc = max(CH // g_gu, 1)
+        chw = CH // vpw
+        gate = jnp.zeros((bsz, ti), jnp.float32)
+        up = jnp.zeros((bsz, ti), jnp.float32)
+
+        def gu_sb(rows):
+            s_ = gus_ref[:][0][rows, :]
+            if zc_gu is None:
+                return s_, guz_ref[:][0][rows, :]
+            return s_, s_ * (-zc_gu)
+
+        for r in range(hidden // CH):
+            hp_r = h2_sc[:, r * CH:(r + 1) * CH]
+            rs = (r * CH) // g_gu
+            sg, bg = gu_sb(slice(rs, rs + ngc))
+            wg = _unpack_planar(g_ref[:][0][r * chw:(r + 1) * chw, :], bits)
+            wg = _dequant_planar(wg, sg, bg, bits, g_eff, ti)
+            gate += jax.lax.dot_general(hp_r, wg, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            su, bu = gu_sb(slice(ngh + rs, ngh + rs + ngc))
+            wu = _unpack_planar(u_ref[:][0][r * chw:(r + 1) * chw, :], bits)
+            wu = _dequant_planar(wu, su, bu, bits, g_eff, ti)
+            up += jax.lax.dot_general(hp_r, wu, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        act = gate * (1.0 / (1.0 + jnp.exp(-gate))) * up
+
+        ap = _perm_row(act, vpw)
+        if zc_d is None:
+            sd, zd, ged = _select_sz(ds_ref[:][0], dz_ref[:][0], m, ti, g_d)
+        else:
+            sd, ged = _select_s(ds_ref[:][0], m, ti, g_d)
+            zd = sd * (-zc_d)
+        cn = 1024 if hidden % 1024 == 0 else hidden
+        for c in range(hidden // cn):
+            wd_ = _unpack_planar(d_ref[:][0][:, c * cn:(c + 1) * cn], bits)
+            wd_ = _dequant_planar(wd_, sd[:, c * cn:(c + 1) * cn],
+                                  zd[:, c * cn:(c + 1) * cn], bits, ged, cn)
+            mlp_acc[:, c * cn:(c + 1) * cn] += jax.lax.dot_general(
+                ap, wd_, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        @pl.when(m == ni - 1)
+        def _():
+            x_new = xmid_sc[:] + mlp_acc[:]
+            x_sc[:] = x_new
+
+            @pl.when(l == n_layers - 1)
+            def _():
+                xo_ref[:] = x_new.astype(xo_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "meta", "interpret"))
+def model_decode_mega_batch(stack, x, cos, sin, cache, positions, cfg, meta,
+                            interpret=False):
+    """B-slot whole-model decode: x [B,1,H], per-slot positions [B].
+
+    cache: HEAD-TRANSPOSED stacked dict {"k": [L,B,Hkv,T,D] int8, "v": ...,
+    "k_scale": [L,B,Hkv,T], "v_scale": ...} (see stack_cache_batched).
+    Returns (x_out [B,1,H], krows [L,B,Hkv,D], vrows, ksr [L,B,Hkv],
+    vsr) — the caller scatters rows at each slot's position.
+    """
+    bits, g_qkv, g_o, g_gu, g_d, zc_qkv, zc_o, zc_gu, zc_d = meta
+    h = cfg.hidden_size
+    q_dim = cfg.num_heads * cfg.head_dim
+    kv_dim = cfg.num_kv_heads * cfg.head_dim
+    vpw = 32 // bits
+    L = cfg.num_layers
+    B = x.shape[0]
+
+    tka, to_, ti, inter_p = _model_tiles(cfg)
+    nq, no, ni = h // tka, q_dim // to_, inter_p // ti
+    max_len = cache["k"].shape[3]
+    tb = 256 if (max_len % 256 == 0 and max_len >= 1024) else 128
+    assert max_len % tb == 0
+    nt = max_len // tb
+    ntB = B * nt
+    spl = nq + 1 + ntB + no + ni
+    grid = (L, spl)
+
+    x_rows = x.reshape(B, h)
+
+    kern = functools.partial(
+        _kernel_b, bsz=B, bits=bits, hidden=h, q_dim=q_dim, kv_dim=kv_dim,
+        inter=inter_p,
+        n_heads=cfg.num_heads, n_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        g_qkv=g_qkv, g_o=g_o, g_gu=g_gu, g_d=g_d,
+        nq=nq, no=no, ni=ni, nt=nt, tb=tb, spl=spl, n_layers=L,
+        tka=tka, to_=to_, ti=ti,
+        out_dtype=x.dtype, rms_eps=cfg.rms_eps,
+        zc_qkv=zc_qkv, zc_o=zc_o, zc_gu=zc_gu, zc_d=zc_d,
+    )
+
+    t_qkv = lambda l, j, p: jnp.minimum(j, nq - 1)
+    t_o = lambda l, j, p: jnp.clip(j - (nq + ntB + 1), 0, no - 1)
+    t_mlp = lambda l, j, p: jnp.clip(j - (nq + ntB + no + 1), 0, ni - 1)
+
+    def bt(j):
+        t_all = jnp.clip(j - (nq + 1), 0, ntB - 1)
+        return t_all // nt, t_all % nt
+
+    def kv_map(l, j, p):
+        b, t = bt(j)
+        return (l, b, 0, jnp.minimum(t, p[b] // tb), 0)
+
+    def kvs_map(l, j, p):
+        b, t = bt(j)
+        return (l, b, 0, jnp.minimum(t, p[b] // tb))
+
+    def sspec(arr, tk, g, tile_of, frozen=False):
+        n = max(tk // g, 1)
+        rows = n if n >= 8 else 8
+        if frozen:
+            return pl.BlockSpec((1, rows, arr.shape[2]),
+                                lambda l, j, p: (0, 0, 0))
+        if n >= 8:
+            return pl.BlockSpec((1, rows, arr.shape[2]),
+                                lambda l, j, p: (l, tile_of(l, j, p), 0))
+        return pl.BlockSpec(
+            (1, rows, arr.shape[2]),
+            lambda l, j, p: (l, ((tile_of(l, j, p) * tk) // g) // 8, 0))
+
+    n_qkv = q_dim + 2 * kv_dim
+    Hkv, D = cfg.num_kv_heads, cfg.head_dim
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, h), lambda l, j, p: (0, 0)),                  # x
+            pl.BlockSpec((1, 1, h), lambda l, j, p: (l, 0, 0)),            # n1
+            pl.BlockSpec((1, tka // vpw, n_qkv),
+                         lambda l, j, p: (l, t_qkv(l, j, p), 0)),          # qkv
+            sspec(stack["qs"], tka, g_qkv, t_qkv),
+            sspec(stack["qz"], tka, g_qkv, t_qkv, frozen=zc_qkv is not None),
+            pl.BlockSpec((B, cfg.head_dim), lambda l, j, p: (0, 0)),       # cos
+            pl.BlockSpec((B, cfg.head_dim), lambda l, j, p: (0, 0)),       # sin
+            pl.BlockSpec((1, 1, Hkv, tb, D), kv_map),                      # ck
+            pl.BlockSpec((1, 1, Hkv, tb, D), kv_map),                      # cv
+            pl.BlockSpec((1, 1, Hkv, tb), kvs_map),
+            pl.BlockSpec((1, 1, Hkv, tb), kvs_map),
+            pl.BlockSpec((1, to_ // vpw, h),
+                         lambda l, j, p: (l, t_o(l, j, p), 0)),            # o
+            sspec(stack["os"], to_, g_o, t_o),
+            sspec(stack["oz"], to_, g_o, t_o, frozen=zc_o is not None),
+            pl.BlockSpec((1, 1, h), lambda l, j, p: (l, 0, 0)),            # n2
+            pl.BlockSpec((1, h // vpw, ti),
+                         lambda l, j, p: (l, 0, t_mlp(l, j, p))),          # gate
+            pl.BlockSpec((1, h // vpw, ti),
+                         lambda l, j, p: (l, 0, ni + t_mlp(l, j, p))),     # up
+            pl.BlockSpec((1, stack["gus"].shape[1], ti),
+                         lambda l, j, p: (l, 0, t_mlp(l, j, p))),
+            pl.BlockSpec((1, stack["guz"].shape[1], ti),
+                         (lambda l, j, p: (0, 0, 0)) if zc_gu is not None
+                         else (lambda l, j, p: (l, 0, t_mlp(l, j, p)))),
+            pl.BlockSpec((1, ti // vpw, h),
+                         lambda l, j, p: (l, t_mlp(l, j, p), 0)),          # down
+            sspec(stack["ds"], ti, g_d, t_mlp),
+            sspec(stack["dz"], ti, g_d, t_mlp, frozen=zc_d is not None),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, h), lambda l, j, p: (0, 0)),                  # x_out
+            pl.BlockSpec((1, B, Hkv, D), lambda l, j, p: (l, 0, 0, 0)),
+            pl.BlockSpec((1, B, Hkv, D), lambda l, j, p: (l, 0, 0, 0)),
+            pl.BlockSpec((1, B, 1, Hkv), lambda l, j, p: (l, 0, 0, 0)),
+            pl.BlockSpec((1, B, 1, Hkv), lambda l, j, p: (l, 0, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, h), jnp.float32),              # residual stream
+            pltpu.VMEM((B, n_qkv), jnp.float32),
+            pltpu.VMEM((B * (q_dim // to_), to_), jnp.float32),
+            pltpu.VMEM((B, h), jnp.float32),
+            pltpu.VMEM((B, h), jnp.float32),
+            pltpu.VMEM((B, h), jnp.float32),
+            pltpu.VMEM((B, h), jnp.float32),
+            pltpu.VMEM((B * cfg.num_heads, D), jnp.float32),
+            pltpu.VMEM((B * cfg.num_heads, D), jnp.float32),
+            pltpu.VMEM((B * cfg.num_heads, D), jnp.float32),
+            pltpu.VMEM((B * cfg.num_heads, D), jnp.float32),
+        ],
+    )
+
+    pos_arr = jnp.reshape(positions, (B,)).astype(jnp.int32)
+    x_out, krows, vrows, ksr, vsr = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, h), x.dtype),
+            jax.ShapeDtypeStruct((L, B, Hkv, D), jnp.int8),
+            jax.ShapeDtypeStruct((L, B, Hkv, D), jnp.int8),
+            jax.ShapeDtypeStruct((L, B, 1, Hkv), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, 1, Hkv), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+    )(
+        pos_arr,
+        x_rows, stack["n1"],
+        stack["qkv"], stack["qs"], stack["qz"],
+        cos.reshape(B, cfg.head_dim), sin.reshape(B, cfg.head_dim),
+        cache["k"], cache["v"], cache["k_scale"], cache["v_scale"],
+        stack["o"], stack["os"], stack["oz"],
+        stack["n2"],
+        stack["gu"], stack["gu"], stack["gus"], stack["guz"],
+        stack["d"], stack["ds"], stack["dz"],
+    )
+    return x_out.reshape(x.shape), krows, vrows, ksr[:, :, 0], vsr[:, :, 0]

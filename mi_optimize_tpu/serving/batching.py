@@ -53,25 +53,58 @@ def decode_step_multi(params, cfg, tokens, cache, positions, fused=True):
 
 @partial(jax.jit, static_argnames=("cfg", "fused"))
 def _prefill_kv(params, cfg, input_ids, fused=True):
-    """Run the prompt without a cache; return (last logits, per-layer (k,v))."""
+    """Prompt -> (last logits, per-layer fp (k, v) slabs of prompt length).
+
+    Used by the paged batcher, which re-scatters the slab into pages."""
+    from .engine import init_cache, prefill
+
     B, S = input_ids.shape
-    x = llama.embed(params, input_ids)
-    cos, sin = llama.rope_tables(cfg, jnp.arange(S))
-    mask = llama.causal_mask(S)
-    kvs = []
-    for blk in params["layers"]:
-        # capture=False, no cache: block returns no kv — recompute k/v instead
-        # by running with a local full-length cache
-        kv = (
-            jnp.zeros((B, S, cfg.num_kv_heads, cfg.head_dim), jnp.float32),
-            jnp.zeros((B, S, cfg.num_kv_heads, cfg.head_dim), jnp.float32),
-        )
-        x, kv, _ = llama.block_apply(blk, x, cos, sin, mask, cfg, kv_cache=kv,
-                                     cache_index=jnp.asarray(0), fused=fused)
-        kvs.append(kv)
-    x = llama.rms_norm(x[:, -1:], params["final_norm"], cfg.rms_eps)
-    logits = llama.unembed(params, cfg, x, fused=fused)[:, 0]
-    return logits, kvs
+    cache = init_cache(cfg, B, S, jnp.float32)
+    return prefill(params, cfg, input_ids, cache, fused)
+
+
+@partial(jax.jit, static_argnames=("cfg", "fused", "slot"))
+def _prefill_into_slot(params, cfg, input_ids, cache, slot, fused=True):
+    """Prefill a batch-1 request and scatter its KV slab into `slot` of the
+    shared multi-slot cache — same dtype/structure as the slot cache (tuple
+    fp or dict int8+scales), so the batcher composes with quantized KV."""
+    from .engine import _cache_len, init_cache, prefill
+
+    one = init_cache(cfg, 1, _cache_len(cache),
+                     jnp.int8 if isinstance(cache[0], dict) else cache[0][0].dtype)
+    logits, one = prefill(params, cfg, input_ids, one, fused)
+
+    def scatter(buf, new):
+        return jax.lax.dynamic_update_slice(
+            buf, new.astype(buf.dtype), (slot,) + (0,) * (buf.ndim - 1))
+
+    if isinstance(cache[0], dict):
+        new_cache = [{f: scatter(c[f], p[f]) for f in c} for c, p in zip(cache, one)]
+    else:
+        new_cache = [tuple(scatter(c[i], p[i]) for i in range(2))
+                     for c, p in zip(cache, one)]
+    return logits, new_cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "slot", "max_len"))
+def _prefill_into_slot_mega(params, cfg, input_ids, cache, slot, max_len):
+    """Prefill a request and scatter its KV slab into `slot` of a BATCHED
+    STACKED (head-transposed) megakernel cache [L, B, Hkv, T, D]."""
+    from .engine import init_cache, prefill
+
+    one = init_cache(cfg, 1, max_len, jnp.int8)
+    logits, one = prefill(params, cfg, input_ids, one, True)
+    k = jnp.stack([c["k"][0] for c in one]).swapaxes(1, 2)       # [L,Hkv,T,D]
+    v = jnp.stack([c["v"][0] for c in one]).swapaxes(1, 2)
+    ks = jnp.stack([c["k_scale"][0] for c in one]).swapaxes(1, 2)  # [L,Hkv,T]
+    vs = jnp.stack([c["v_scale"][0] for c in one]).swapaxes(1, 2)
+    cache = {
+        "k": cache["k"].at[:, slot].set(k.astype(cache["k"].dtype)),
+        "v": cache["v"].at[:, slot].set(v.astype(cache["v"].dtype)),
+        "k_scale": cache["k_scale"].at[:, slot].set(ks),
+        "v_scale": cache["v_scale"].at[:, slot].set(vs),
+    }
+    return logits, cache
 
 
 @dataclass
@@ -88,13 +121,28 @@ class ContinuousBatcher:
     """Static-shape slot scheduler; join/leave between decode steps."""
 
     def __init__(self, model: Model, n_slots: int = 4, max_len: int = 512,
-                 fused: bool = True):
+                 fused: bool = True, cache_dtype=jnp.float32,
+                 use_megakernel: Optional[bool] = None):
         self.model = model
         self.cfg = model.config
         self.n_slots = n_slots
         self.max_len = min(max_len, self.cfg.max_seq_len)
         self.fused = fused
-        self.cache = init_cache(self.cfg, n_slots, self.max_len, jnp.float32)
+        self.cache = init_cache(self.cfg, n_slots, self.max_len, cache_dtype)
+        # batched whole-model megakernel fast path: ONE pallas launch decodes
+        # all slots, streaming each weight block once for the whole batch
+        # (ops/model_fused.py::model_decode_mega_batch)
+        self._mega = None
+        if use_megakernel is None:
+            use_megakernel = fused and jax.default_backend() == "tpu"
+        if (use_megakernel and fused and cache_dtype == jnp.int8
+                and self.max_len % 128 == 0):
+            from .megadecode import stack_cache_batched, stack_serving
+
+            st = stack_serving(model)
+            if st is not None:
+                self._mega = st
+                self.cache = stack_cache_batched(self.cache)
         self.positions = np.zeros(n_slots, np.int64)  # next write index per slot
         self.last_token = np.zeros(n_slots, np.int64)
         self.slot_req: List[Optional[Request]] = [None] * n_slots
@@ -111,18 +159,15 @@ class ContinuousBatcher:
         req = Request(self._next_rid, prompt, max_new_tokens, eos_token_id)
         self._next_rid += 1
 
-        logits, kvs = _prefill_kv(self.model.params, self.cfg,
-                                  jnp.asarray(prompt[None, :]), self.fused)
+        if self._mega is not None:
+            logits, self.cache = _prefill_into_slot_mega(
+                self.model.params, self.cfg, jnp.asarray(prompt[None, :]),
+                self.cache, slot, self.max_len)
+        else:
+            logits, self.cache = _prefill_into_slot(
+                self.model.params, self.cfg, jnp.asarray(prompt[None, :]),
+                self.cache, slot, self.fused)
         S = len(prompt)
-        # scatter the prompt KV slab into this slot
-        new_cache = []
-        for (ck, cv), (pk, pv) in zip(self.cache, kvs):
-            ck = jax.lax.dynamic_update_slice(
-                ck, pk.astype(ck.dtype), (slot, 0, 0, 0))
-            cv = jax.lax.dynamic_update_slice(
-                cv, pv.astype(cv.dtype), (slot, 0, 0, 0))
-            new_cache.append((ck, cv))
-        self.cache = new_cache
         tok = int(np.argmax(np.asarray(logits[0])))
         req.tokens.append(tok)
         self.positions[slot] = S
@@ -135,11 +180,21 @@ class ContinuousBatcher:
         active = [i for i, r in enumerate(self.slot_req) if r is not None]
         if not active:
             return {}
-        logits, self.cache = decode_step_multi(
-            self.model.params, self.cfg,
-            jnp.asarray(self.last_token[:, None]), self.cache,
-            jnp.asarray(self.positions), self.fused,
-        )
+        if self._mega is not None:
+            from .megadecode import model_step_batch
+
+            stack, meta = self._mega
+            logits, self.cache = model_step_batch(
+                self.model.params, stack, meta, self.cfg,
+                jnp.asarray(self.last_token[:, None]), self.cache,
+                jnp.asarray(self.positions),
+                interpret=jax.default_backend() != "tpu")
+        else:
+            logits, self.cache = decode_step_multi(
+                self.model.params, self.cfg,
+                jnp.asarray(self.last_token[:, None]), self.cache,
+                jnp.asarray(self.positions), self.fused,
+            )
         toks = np.argmax(np.asarray(logits), axis=-1)
         out = {}
         for i in active:

@@ -131,3 +131,81 @@ def decode_loop_model(params, stack, meta, cfg, token, cache, pos0, n,
     (tok, cache, pos), toks = jax.lax.scan(step, (token, cache, pos0), None,
                                            length=n)
     return jnp.swapaxes(toks, 0, 1), cache
+
+
+# ---------------------------------------------------------------------------
+# batched (B-slot) whole-model decode — continuous batching fast path
+# ---------------------------------------------------------------------------
+
+def stack_cache_batched(cache_list):
+    """Per-layer multi-slot cache (engine.init_cache dtype=int8, batch=B) ->
+    HEAD-TRANSPOSED stacked dict for the batched kernel:
+    k/v [L, B, Hkv, T, D], scales [L, B, Hkv, T]."""
+    k = jnp.stack([c["k"] for c in cache_list])            # [L, B, T, H, D]
+    v = jnp.stack([c["v"] for c in cache_list])
+    ks = jnp.stack([c["k_scale"] for c in cache_list])     # [L, B, T, H]
+    vs = jnp.stack([c["v_scale"] for c in cache_list])
+    return {
+        "k": jnp.swapaxes(k, 2, 3),
+        "v": jnp.swapaxes(v, 2, 3),
+        "k_scale": jnp.swapaxes(ks, 2, 3),
+        "v_scale": jnp.swapaxes(vs, 2, 3),
+    }
+
+
+def unstack_cache_batched(cache, n_layers):
+    """Inverse of stack_cache_batched (back to the per-layer engine layout)."""
+    out = []
+    for l in range(n_layers):
+        out.append({
+            "k": jnp.swapaxes(cache["k"][l], 1, 2),
+            "v": jnp.swapaxes(cache["v"][l], 1, 2),
+            "k_scale": jnp.swapaxes(cache["k_scale"][l], 1, 2),
+            "v_scale": jnp.swapaxes(cache["v_scale"][l], 1, 2),
+        })
+    return out
+
+
+def _scatter_rows_batched(cache, krows, vrows, ksr, vsr, positions):
+    """Write each slot's new KV row at its own position (vmap over slots)."""
+    def upd_kv(buf, new):  # buf [L,B,H,T,D], new [L,B,H,D]
+        def one(bufb, newb, p):
+            return jax.lax.dynamic_update_slice(
+                bufb, newb[:, :, None].astype(bufb.dtype), (0, 0, p, 0))
+        return jax.vmap(one, in_axes=(1, 1, 0), out_axes=1)(buf, new, positions)
+
+    def upd_s(buf, new):  # buf [L,B,H,T], new [L,B,H]
+        def one(bufb, newb, p):
+            return jax.lax.dynamic_update_slice(
+                bufb, newb[:, :, None].astype(bufb.dtype), (0, 0, p))
+        return jax.vmap(one, in_axes=(1, 1, 0), out_axes=1)(buf, new, positions)
+
+    return {
+        "k": upd_kv(cache["k"], krows),
+        "v": upd_kv(cache["v"], vrows),
+        "k_scale": upd_s(cache["k_scale"], ksr),
+        "v_scale": upd_s(cache["v_scale"], vsr),
+    }
+
+
+@partial(jax.jit, static_argnames=("cfg", "meta", "interpret"))
+def model_step_batch(params, stack, meta, cfg, tokens, cache, positions,
+                     interpret=False):
+    """One B-slot decode step: tokens [B,1], positions [B] -> (logits [B,V],
+    cache). ONE pallas launch for the whole decoder stack — weights stream
+    once for all B slots."""
+    from ..ops.model_fused import model_decode_mega_batch
+
+    B = tokens.shape[0]
+    x = llama.embed(params, tokens)                     # [B, 1, h]
+    cos, sin = llama.rope_tables(cfg, positions[:, None])
+    x, krows, vrows, ksr, vsr = model_decode_mega_batch(
+        stack, x, cos.reshape(B, -1)[:, -cfg.head_dim:],
+        sin.reshape(B, -1)[:, -cfg.head_dim:],
+        cache, positions, cfg, meta, interpret=interpret)
+    krows, vrows, ksr, vsr = jax.lax.optimization_barrier(
+        (krows, vrows, ksr, vsr))
+    cache = _scatter_rows_batched(cache, krows, vrows, ksr, vsr, positions)
+    h = llama.rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = llama.unembed(params, cfg, h, fused=not interpret)[:, 0]
+    return logits, cache

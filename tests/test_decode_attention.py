@@ -57,3 +57,4 @@ def test_fused_decode_attention_matches_stock(rng):
     np.testing.assert_allclose(np.asarray(out), ref_out, rtol=2e-3, atol=2e-3)
     np.testing.assert_array_equal(np.asarray(nck[pos]), np.asarray(ref_ck[pos]))
     np.testing.assert_array_equal(np.asarray(nck[:pos]), np.asarray(ck[:pos]))
+

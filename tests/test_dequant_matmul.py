@@ -122,3 +122,51 @@ def test_fused_mlp_matches_separate(rng):
     u = quant_linear_apply(up, x, fused=False)
     y_ref = np.asarray(quant_linear_apply(down, jax.nn.silu(g) * u, fused=False))
     np.testing.assert_allclose(y_fused, y_ref, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# W4A8 prefill kernel (ops/w4a8_matmul.py): int8-dot formulation == fake-quant
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("qtype,groupsize", [("per_group", 32), ("per_channel", -1)])
+def test_w4a8_matches_fake_quant(rng, qtype, groupsize):
+    from mi_optimize_tpu.ops.w4a8_matmul import supports_w4a8, w4a8_matmul
+
+    qlin, fake_w = make_packed_linear(rng, 256, 256, 4, qtype, groupsize)
+    spec = qlin.spec.replace(abit=8, a_qtype="per_token", a_dynamic=True,
+                             a_symmetric=True, a_unsigned=False)
+    qlin = qlin.replace(spec=spec)
+    assert supports_w4a8(spec)
+
+    x = rng.normal(size=(64, 256)).astype(np.float32)
+    # fake-quant oracle: same dynamic absmax int8 activation grid + fp matmul
+    amax = np.abs(x).max(axis=-1, keepdims=True)
+    sx = amax / 127.0
+    x_fake = np.clip(np.round(x / sx), -128, 127) * sx
+    y_ref = x_fake @ fake_w.T
+
+    y = np.asarray(w4a8_matmul(jnp.asarray(x), qlin))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-5, atol=1e-4)
+
+
+def test_w4a8_routing_by_batch(rng, monkeypatch):
+    """quant_linear_apply with MI_W4A8_INT=1: M>=32 takes the int-dot kernel,
+    decode M stays on the f32 dequant path — both produce the same math.
+    (The int path is OPT-IN: measured slower than the f32 dequant kernel at
+    prefill shapes on v5e — BENCH_DETAILS.md round 2.)"""
+    from mi_optimize_tpu.models.quant_linear import quant_linear_apply
+
+    monkeypatch.setenv("MI_W4A8_INT", "1")
+
+    qlin, fake_w = make_packed_linear(rng, 128, 128, 4, "per_group", 32)
+    spec = qlin.spec.replace(abit=8, a_qtype="per_token", a_dynamic=True,
+                             a_symmetric=True, a_unsigned=False)
+    qlin = qlin.replace(spec=spec)
+    x_big = rng.normal(size=(1, 40, 128)).astype(np.float32)
+    x_small = x_big[:, :4]
+    y_big = np.asarray(quant_linear_apply(qlin, jnp.asarray(x_big), fused=True))
+    y_small = np.asarray(quant_linear_apply(qlin, jnp.asarray(x_small), fused=True))
+    np.testing.assert_allclose(y_small, y_big[:, :4], rtol=1e-4, atol=1e-3)
+    # both agree with the unfused fake-quant path
+    y_ref = np.asarray(quant_linear_apply(qlin, jnp.asarray(x_big), fused=False))
+    np.testing.assert_allclose(y_big, y_ref, rtol=1e-4, atol=1e-3)

