@@ -23,7 +23,7 @@ import string
 import numpy as np
 
 from ..datasets import lmdatasets
-from .lmeval import MultipleChoiceTask, Task, register_task
+from .lmeval import Task, register_task
 from .lmeval_tasks import _HFMultipleChoice, _detok, _hf_docs
 
 log = logging.getLogger(__name__)

@@ -168,7 +168,7 @@ def quant_linear_apply(q: QuantizedLinear, x: jnp.ndarray, *, fused: bool = True
             return y.astype(in_dtype)
 
     x = _quant_activations(q, x)
-    if q.packed is not None and fused and s.wbit in (4, 8):
+    if q.packed is not None and fused and s.wbit in (2, 4, 8):
         from ..ops.dequant_matmul import dequant_matmul  # lazy: pallas import
         y = dequant_matmul(x, q)
     else:

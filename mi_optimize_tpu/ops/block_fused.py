@@ -432,7 +432,7 @@ def _lin_ok(lin, cfg) -> bool:
     if lin.a_scale is not None or lin.perm is not None:
         return False
     s = lin.spec
-    if s.wbit not in (4, 8) or s.abit is not None:
+    if s.wbit not in (2, 4, 8) or s.abit is not None:
         return False
     if s.w_qtype not in ("per_group", "per_channel"):
         return False

@@ -141,7 +141,7 @@ def mlp_supported(gate, up, down, hidden, inter) -> bool:
         if lin.packed is None or lin.bias is not None or lin.smooth_factor is not None:
             return False
         s = lin.spec
-        if s.wbit not in (4, 8) or s.abit is not None:
+        if s.wbit not in (2, 4, 8) or s.abit is not None:
             return False
         if s.w_qtype not in ("per_group", "per_channel"):
             return False

@@ -14,8 +14,6 @@ fails the megakernel contract; callers then use serving.engine.decode_loop.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

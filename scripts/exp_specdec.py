@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Speculative decoding tokens/s on the real chip (VERDICT r2 item 9).
+
+Target = 7B int4 g128; draft = the SAME random checkpoint at int2 RTN
+(quantization provides the draft/verify pair — no second model). With
+random-init weights the draft/target argmax agreement is not representative
+of a real checkpoint, so both the measured accept rate AND the mechanism
+ceiling (target-as-draft, accept rate 1.0) are recorded.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import build_quantized_llama_on_device
+from mi_optimize_tpu.models.llama import LlamaConfig
+from mi_optimize_tpu.models.model import Model
+from mi_optimize_tpu.serving import fuse_for_serving
+from mi_optimize_tpu.serving.engine import decode_loop, init_cache, prefill
+from mi_optimize_tpu.serving.speculative import speculative_generate
+
+cfg = LlamaConfig.llama2_7b()
+target = fuse_for_serving(Model(
+    config=cfg, params=build_quantized_llama_on_device(cfg, bits=4, groupsize=128),
+    family="llama"))
+NEW = 48
+prompt = np.random.default_rng(0).integers(0, cfg.vocab_size, (1, 64))
+
+
+def timed(name, fn):
+    out, stats = fn()
+    t0 = time.perf_counter()
+    out, stats = fn()
+    dt = time.perf_counter() - t0
+    print(json.dumps({"what": name, "tokens_per_s": round(NEW / dt, 2),
+                      **{k: round(v, 3) if isinstance(v, float) else v
+                         for k, v in stats.items()}}), flush=True)
+
+
+# plain decode_loop baseline (per-layer fused path — the same path the
+# spec-dec draft/verify programs use, so the speedup is apples-to-apples)
+def plain():
+    cache = init_cache(cfg, 1, 256, jnp.int8)
+    logits, cache = prefill(target.params, cfg, jnp.asarray(prompt), cache, True)
+    tok = jnp.argmax(logits, -1)[:, None]
+    toks, _ = decode_loop(target.params, cfg, tok, cache, jnp.asarray(64), NEW, True)
+    _ = int(toks[0, -1])
+    return toks, {}
+
+
+timed("plain_decode_loop(per-layer path)", plain)
+
+# mechanism ceiling: target as its own draft (accept rate 1.0)
+timed("specdec k=4 target-as-draft (ceiling)",
+      lambda: speculative_generate(target, target, prompt, max_new_tokens=NEW,
+                                   k=4, fused=True, cache_dtype=jnp.int8))
+
+# int2 draft of the same checkpoint (same words-major packing layout)
+d2 = fuse_for_serving(Model(
+    config=cfg, params=build_quantized_llama_on_device(cfg, bits=2, groupsize=128),
+    family="llama"))
+timed("specdec k=4 int2-draft",
+      lambda: speculative_generate(target, d2, prompt, max_new_tokens=NEW,
+                                   k=4, fused=True, cache_dtype=jnp.int8))

@@ -170,3 +170,11 @@ def test_w4a8_routing_by_batch(rng, monkeypatch):
     # both agree with the unfused fake-quant path
     y_ref = np.asarray(quant_linear_apply(qlin, jnp.asarray(x_big), fused=False))
     np.testing.assert_allclose(y_big, y_ref, rtol=1e-4, atol=1e-3)
+
+
+def test_fused_int2(rng):
+    """int2 packed weights through the fused kernel (spec-dec drafts)."""
+    qlin, fake_w = make_packed_linear(rng, 128, 256, 2, "per_group", 128)
+    x = rng.normal(size=(8, 256)).astype(np.float32)
+    y = np.asarray(quant_linear_apply(qlin, jnp.asarray(x), fused=True))
+    np.testing.assert_allclose(y, x @ fake_w.T, rtol=1e-4, atol=1e-3)

@@ -104,6 +104,27 @@ def ref_env(tmp_path_factory):
 
     RG.track_hessian_hook_to_cuda = RU.track_hessian_hook_to_cpu
 
+    # the reference SpQR ctor cannot run as written: super().__init__(wbit=..)
+    # mismatches BaseQuantizer(w_bits=..) (SpqrQuantizer.py:15 vs base.py:2) —
+    # shim the kwarg names so the REAL ctor body executes (same shim as
+    # tests/test_reference_parity.py::test_spqr_full_loop_parity)
+    import mi_optimize.quantization.quantizer.base as RB
+
+    if not getattr(RB.BaseQuantizer.__init__, "_mi_shim", False):
+        _orig_init = RB.BaseQuantizer.__init__
+
+        def _shim(self, *a, **kw):
+            # only remap the misnamed kwargs; AWQ passes quant_hub_linear as
+            # a keyword, SpQR positionally — accept both
+            if "wbit" in kw:
+                kw["w_bits"] = kw.pop("wbit")
+            if "abit" in kw:
+                kw["a_bits"] = kw.pop("abit")
+            _orig_init(self, *a, **kw)
+
+        _shim._mi_shim = True
+        RB.BaseQuantizer.__init__ = _shim
+
     # tiny random-init llama; hidden/intermediate = 256 because the reference's
     # AWQ auto_clip asserts out_features % 256 == 0 (AWQQuantizer.py:160)
     hf_cfg = LlamaConfig(vocab_size=512, hidden_size=256, intermediate_size=256,
@@ -193,6 +214,14 @@ CASES = {
         dict(algo="awq+gptq", wbit="int4", abit="float16", w_groupsize=16,
              blocksize=32, actorder=True),
         ("rel", 0.005),
+    ),
+    # SpQR: GPTQ-style loop + LOO outliers + double quant — chaotic like GPTQ
+    "spqr": (
+        lambda RP: dict(wbit=RP.INT4, abit=RP.FP16, w_groupsize=16,
+                        qq_groupsize=16),
+        dict(algo="spqr", wbit="int4", abit="float16", w_groupsize=16,
+             qq_groupsize=16),
+        ("rel", 0.01),
     ),
     "smoothquant+gptq": (
         lambda RP: dict(wbit=RP.INT4, abit=RP.INT8, alpha=0.5, w_qtype="per_channel",
