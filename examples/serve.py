@@ -1,0 +1,96 @@
+"""Throughput serving from a saved quantized checkpoint: continuous batching
+over an int8 KV cache, decoding through the batched whole-model megakernel.
+
+New scope beyond the reference (its inference is single-request
+model.generate; /root/reference/examples/inference.py): B requests of
+different lengths decode together, new requests join mid-flight as slots
+free up, and on TPU every weight block streams from HBM once per step for
+the whole batch (ops/model_fused.py::model_decode_mega_batch — see
+BENCH_DETAILS.md for measured aggregate tokens/s).
+
+    python examples/serve.py --quantized-model ckpt/ --prompts prompts.txt \
+        --slots 8 --max-new-tokens 64
+
+Optionally `--speculative --draft-model draft_ckpt/` serves single requests
+through the on-device speculative-decoding loop instead (the draft can be the
+same checkpoint quantized at a lower bit width).
+"""
+import argparse
+import time
+
+import jax.numpy as jnp
+
+from mi_optimize_tpu.export import load_model
+from mi_optimize_tpu.serving.batching import ContinuousBatcher
+
+from quantize import get_tokenizer
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quantized-model", required=True)
+    ap.add_argument("--tokenizer-path", default=None)
+    ap.add_argument("--prompts", required=True,
+                    help="text file, one prompt per line")
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--max-len", type=int, default=1024)
+    ap.add_argument("--max-new-tokens", type=int, default=64)
+    ap.add_argument("--speculative", action="store_true")
+    ap.add_argument("--draft-model", default=None,
+                    help="checkpoint for the spec-dec draft (e.g. int2 RTN of "
+                         "the same model)")
+    ap.add_argument("--k", type=int, default=4, help="spec-dec proposal length")
+    args = ap.parse_args()
+
+    model = load_model(args.quantized_model)
+    tokenizer = get_tokenizer(args.tokenizer_path)
+    prompts = [p.strip() for p in open(args.prompts) if p.strip()]
+
+    if args.speculative:
+        from mi_optimize_tpu.serving.speculative import speculative_generate
+
+        draft = load_model(args.draft_model) if args.draft_model else model
+        for p in prompts:
+            ids = tokenizer(p)["input_ids"]
+            t0 = time.time()
+            out, stats = speculative_generate(
+                model, draft, ids, max_new_tokens=args.max_new_tokens,
+                k=args.k, cache_dtype=jnp.int8)
+            dt = time.time() - t0
+            n_new = out.shape[1] - len(ids)
+            print(tokenizer.decode(out[0]))
+            print(f"[{n_new} tok in {dt:.2f}s = {n_new/dt:.1f} tok/s, "
+                  f"accept={stats['accept_rate']:.2f}]")
+        return
+
+    from mi_optimize_tpu.serving.optimize import fuse_for_serving
+
+    model = fuse_for_serving(model)
+    batcher = ContinuousBatcher(model, n_slots=args.slots,
+                                max_len=args.max_len, cache_dtype=jnp.int8)
+    pending = list(enumerate(prompts))
+    reqs = {}  # prompt index -> Request (retains its tokens after completion)
+    t0 = time.time()
+    n_tokens = 0
+    while pending or any(r is not None for r in batcher.slot_req):
+        while pending:
+            i, p = pending[0]
+            rid = batcher.add_request(tokenizer(p)["input_ids"],
+                                      max_new_tokens=args.max_new_tokens,
+                                      eos_token_id=tokenizer.eos_token_id)
+            if rid is None:
+                break
+            reqs[i] = next(r for r in batcher.slot_req if r and r.rid == rid)
+            pending.pop(0)
+        n_tokens += len(batcher.step())
+    dt = time.time() - t0
+    for i in sorted(reqs):
+        print(f"--- [{i}] {prompts[i]!r}")
+        print(tokenizer.decode(reqs[i].tokens))
+    print(f"[{len(prompts)} requests, {n_tokens} tokens in {dt:.2f}s "
+          f"= {n_tokens/max(dt, 1e-9):.1f} tok/s aggregate over "
+          f"{args.slots} slots]")
+
+
+if __name__ == "__main__":
+    main()

@@ -112,15 +112,19 @@ def _c4_texts(local: str, split: str) -> List[str]:
     import gzip
     import json
 
+    # every pattern names the split — a flat dir must NOT serve the same
+    # shard to both train (calibration) and validation (evaluation)
     pats = (os.path.join(local, "en", f"c4-{split}*.json.gz"),
             os.path.join(local, f"c4-{split}*.json.gz"),
-            os.path.join(local, "*.json.gz"))
+            os.path.join(local, f"*{split}*.json.gz"))
     for pat in pats:
         files = sorted(glob.glob(pat))
         if files:
             break
     else:
-        raise FileNotFoundError(f"no .json.gz shards under {local}")
+        raise FileNotFoundError(
+            f"no {split} .json.gz shards under {local} (allenai layout: "
+            f"en/c4-{split}-....json.gz)")
     texts = []
     with gzip.open(files[0], "rt", encoding="utf-8") as f:
         for line in f:

@@ -94,13 +94,23 @@ class LMEvalModel:
             greedy &= int(np.argmax(lp[t - 1])) == ids[t]
         return ll, greedy
 
+    # the reference hardcodes token id 2 as the empty-context / rolling-window
+    # prefix (lmeval.py:18 `context_enc=[2]`, :101 `prefix_token=2`) — match it
+    # for bit-parity; fall back to a real bos id only when 2 is out of range
+    PREFIX_TOKEN = 2
+
+    def _prefix_token(self) -> int:
+        vocab = getattr(self.model.config, "vocab_size", None)
+        if vocab is None or vocab > self.PREFIX_TOKEN:
+            return self.PREFIX_TOKEN
+        bos = getattr(self.tokenizer, "bos_token_id", None)
+        return bos if bos is not None else 0
+
     def loglikelihood(self, requests: Sequence[Tuple[str, str]]):
         reorder = Reorderer(list(requests), lambda r: -len(r[0] + r[1]))
         out = []
         for ctx, cont in reorder.get_reordered():
-            ctx_t = self._enc(ctx) if ctx else [self.tokenizer.bos_token_id
-                                                if hasattr(self.tokenizer, "bos_token_id")
-                                                else 0]
+            ctx_t = self._enc(ctx) if ctx else [self._prefix_token()]
             cont_t = self._enc(cont)
             out.append(self._ll_tokens(ctx_t, cont_t))
         return reorder.get_original(out)
@@ -108,10 +118,9 @@ class LMEvalModel:
     def _rolling_windows(self, toks: List[int]):
         """get_rolling_token_windows(context_len=1) + make_disjoint_window
         (reference lmeval.py:71-95): every token of the doc is scored exactly
-        once, the first behind a BOS prefix token."""
-        prefix = getattr(self.tokenizer, "bos_token_id", None)
-        if prefix is None:
-            prefix = 0
+        once, the first behind the reference's hardcoded prefix token (id 2,
+        lmeval.py:101)."""
+        prefix = self._prefix_token()
         max_len = self.max_length
         if not toks:
             return

@@ -279,7 +279,10 @@ class GSM8K(Task):
     request_type = "greedy_until"
 
     def docs(self):
-        return lmdatasets.load_docs("gsm8k", "gsm8k", "main", "test")
+        if not hasattr(self, "_docs_cache"):  # fewshot calls docs() per doc
+            self._docs_cache = lmdatasets.load_docs("gsm8k", "gsm8k", "main",
+                                                    "test")
+        return self._docs_cache
 
     def fewshot_context(self, doc, num_shot, rng):
         shots = ""
@@ -429,21 +432,42 @@ class SWAG(_HFMultipleChoice):
 
 
 @register_task("race")
-class RACE(_HFMultipleChoice):
-    """tasks/race.py: article + question -> 4 options (A-D gold letter)."""
+class RACE(Task):
+    """tasks/race.py (GPT-3 style): ONE doc per article — all prior Q/A pairs
+    of the passage in the context (cloze '  _  .' questions rendered inline),
+    only the LAST problem scored over its 4 options."""
 
-    path = "race"
-    name = "high"
-    split = "test"
+    def docs(self):
+        rows = _hf_docs("race", "high", "test")
+        by_article = {}
+        for r in rows:
+            by_article.setdefault(r["article"], []).append(r)
+        return [{"article": a,
+                 "problems": [{"question": p["question"], "answer": p["answer"],
+                               "options": list(p["options"])} for p in ps]}
+                for a, ps in by_article.items()]
 
-    def query(self, doc):
-        return f"Article: {doc['article']}\n\nQuestion: {doc['question']}\nAnswer:"
+    @staticmethod
+    def _gold_option(problem):
+        return problem["options"]["ABCD".index(problem["answer"])]
 
-    def choices(self, doc):
-        return list(doc["options"])
+    def fewshot_context(self, doc, num_shot, rng):
+        text = "Article: " + doc["article"] + "\n\n"
+        for p in doc["problems"][:-1]:
+            if p["question"][-6:] == "  _  .":
+                text += p["question"][-5:] + self._gold_option(p) + "\n"
+            else:
+                text += ("Question: " + p["question"] + "\n"
+                         + "Answer: " + self._gold_option(p) + "\n")
+        return text + doc["problems"][-1]["question"]
 
-    def gold(self, doc):
-        return "ABCD".index(doc["answer"])
+    def construct_requests(self, doc, ctx):
+        return [(ctx, " " + opt) for opt in doc["problems"][-1]["options"]]
+
+    def process_results(self, doc, results):
+        lls = [r[0] for r in results]
+        gold = "ABCD".index(doc["problems"][-1]["answer"])
+        return {"acc": float(int(np.argmax(lls)) == gold)}
 
 
 class _HeadQA(_HFMultipleChoice):
@@ -473,7 +497,8 @@ class HeadQAEs(_HeadQA):
 
 
 class _MuTual(_HFMultipleChoice):
-    """tasks/mutual.py: detokenized dialogue history -> 4 responses."""
+    """tasks/mutual.py: detokenized dialogue history -> 4 responses, reported
+    as r@1 / r@2 / mrr over the raw loglikelihoods (mutual.py:71-77)."""
 
     path = "mutual"
     name = "mutual"
@@ -486,6 +511,15 @@ class _MuTual(_HFMultipleChoice):
 
     def gold(self, doc):
         return "ABCD".index(doc["answers"])
+
+    def process_results(self, doc, results):
+        lls = [r[0] for r in results]
+        gold = self.gold(doc)
+        r1 = float(int(np.argmax(lls)) == gold)
+        ranks = sorted(lls, reverse=True)
+        gold_rank = ranks.index(lls[gold])
+        r2 = float(gold_rank == 1) + r1
+        return {"r@1": r1, "r@2": r2, "mrr": 1.0 / (gold_rank + 1)}
 
 
 @register_task("mutual")
@@ -541,28 +575,45 @@ class PubMedQA(_HFMultipleChoice):
 
 @register_task("wsc273")
 class WSC273(Task):
-    """tasks/wsc273.py: score the two candidate completions of the pronoun
-    site with the shared partial context (partial-evaluation protocol)."""
+    """tasks/wsc273.py partial-evaluation protocol: context = text up to the
+    pronoun with the candidate substituted IN THE CONTEXT; only the tail after
+    the pronoun is scored as the continuation (its likelihood is shared, the
+    candidate's own likelihood is deliberately excluded)."""
+
+    _UPPER_PRONOUNS = ("A", "An", "The", "She", "He", "It", "They", "My",
+                       "His", "Her", "Their")
 
     def docs(self):
-        return _hf_docs("winograd_wsc", "wsc273", "test")
+        return [self._process(d) for d in _hf_docs("winograd_wsc", "wsc273", "test")]
 
-    @staticmethod
-    def _normalize(doc, option):
-        # upper-case the option like the pronoun when it starts the sentence
+    def _process(self, doc):
+        doc = dict(doc)
+        # HF wsc273 is not partial-evaluation friendly (wsc273.py:69-75)
+        doc["text"] = doc["text"].replace("  ", " ")
+        doc["options"] = [self._normalize(doc, o) for o in doc["options"]]
+        return doc
+
+    def _normalize(self, doc, option):
+        # 's for possessive-determiner pronouns; lowercase a sentence-internal
+        # leading pronoun (wsc273.py:__normalize_option)
         if doc["pronoun"].lower() in ("my", "his", "her", "our", "their"):
             option += "'s"
-        pron = doc["text"][doc["pronoun_loc"]:doc["pronoun_loc"] + len(doc["pronoun"])]
-        if pron.istitle() and not option.istitle():
-            option = option[0].upper() + option[1:]
+        pronoun = option.split()[0]
+        start_of_sentence = doc["text"][doc["pronoun_loc"] - 2] == "."
+        if not start_of_sentence and pronoun in self._UPPER_PRONOUNS:
+            option = option.replace(pronoun, pronoun.lower())
         return option
 
+    @staticmethod
+    def _target(doc):
+        start = doc["pronoun_loc"] + len(doc["pronoun"])
+        return " " + doc["text"][start:].strip()
+
     def fewshot_context(self, doc, num_shot, rng):
-        return doc["text"][: doc["pronoun_loc"]].rstrip()
+        return ""
 
     def construct_requests(self, doc, ctx):
-        tail = doc["text"][doc["pronoun_loc"] + len(doc["pronoun"]):]
-        return [(ctx, " " + self._normalize(doc, opt) + tail)
+        return [(doc["text"][: doc["pronoun_loc"]] + opt, self._target(doc))
                 for opt in doc["options"]]
 
     def process_results(self, doc, results):

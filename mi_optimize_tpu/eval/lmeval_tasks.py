@@ -99,7 +99,11 @@ class _HFMultipleChoice(MultipleChoiceTask):
     split = "validation"
 
     def docs(self):
-        return _hf_docs(self.path, self.name, self.split)
+        # memoized: fewshot_context calls docs() per evaluated doc, which
+        # would otherwise re-run load_dataset O(n) times (r2 code review)
+        if not hasattr(self, "_docs_cache"):
+            self._docs_cache = _hf_docs(self.path, self.name, self.split)
+        return self._docs_cache
 
     def fewshot_context(self, doc, num_shot, rng):
         shots = ""

@@ -135,7 +135,7 @@ def w4a8_matmul(x: jnp.ndarray, qlin) -> jnp.ndarray:
     activation grid is the same dynamic absmax int8 grid `_quant_activations`
     uses, and the weight product is computed exactly in int32.
     """
-    from ..core.qparams import qrange
+    from ..core.qparams import div_round, exact_div, qrange
 
     s = qlin.spec
     lead = x.shape[:-1]
@@ -150,8 +150,11 @@ def w4a8_matmul(x: jnp.ndarray, qlin) -> jnp.ndarray:
         amax = jnp.clip(jnp.abs(x2).max(axis=-1, keepdims=True), 1e-12, None)
     else:
         amax = jnp.clip(jnp.abs(x2).max(), 1e-12, None).reshape(1, 1)
-    sx = amax / 127.0
-    xi = jnp.clip(jnp.round(x2 / sx), -128, 127).astype(jnp.int8)
+    # exact_div/div_round: same correctly-rounded grid as _quant_activations
+    # (XLA's reciprocal-multiply lowering flips round() at half-integer
+    # boundaries otherwise — core/qparams.py)
+    sx = exact_div(amax, jnp.float32(127.0))
+    xi = jnp.clip(div_round(x2, sx), -128, 127).astype(jnp.int8)
 
     rng = qrange(s.wbit, s.w_unsigned)
     g = s.w_groupsize if (s.w_qtype == "per_group" and s.w_groupsize > 0) else -1

@@ -41,14 +41,14 @@ def _gptq_on(cfg, lin, W_smoothed, stats, smooth):
     if groupsize > 0 and cfg.actorder and cfg.pack:
         out = build_quantized_linear(
             lin, cfg, Q[:, perm], scales, zeros, w_qtype=w_qtype,
-            smooth_factor=smooth,
+            w_symmetric=cfg.w_qscheme == "symmetric", smooth_factor=smooth,
         )
         if out.packed is not None:
             return out.replace(perm=perm)
     pack_ok = groupsize <= 0 or not cfg.actorder
     return build_quantized_linear(
         lin, cfg, Q, scales, zeros, w_qtype=w_qtype, pack_ok=pack_ok,
-        smooth_factor=smooth,
+        w_symmetric=cfg.w_qscheme == "symmetric", smooth_factor=smooth,
     )
 
 

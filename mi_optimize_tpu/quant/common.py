@@ -39,6 +39,7 @@ def build_quantized_linear(
     *,
     w_qtype: Optional[str] = None,
     w_groupsize: Optional[int] = None,
+    w_symmetric: Optional[bool] = None,
     smooth_factor: Optional[jnp.ndarray] = None,
     a_scale=None,
     a_zero=None,
@@ -56,6 +57,11 @@ def build_quantized_linear(
         spec = spec.replace(w_qtype=w_qtype)
     if w_groupsize is not None:
         spec = spec.replace(w_groupsize=w_groupsize)
+    if w_symmetric is not None:
+        # algorithms whose grid symmetry is NOT cfg.w_has_zero (GPTQ-family
+        # uses w_qscheme) must say so, or downstream routing that keys on
+        # spec.w_symmetric (e.g. the native-int8 path) mis-handles the zeros
+        spec = spec.replace(w_symmetric=w_symmetric)
     if smooth_factor is not None:
         smooth_factor = smooth_factor.astype(jnp.float32)
 

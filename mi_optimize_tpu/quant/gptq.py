@@ -259,13 +259,16 @@ class GPTQAlgo(BaseAlgo):
             # configuration, export/utils.py:8-22)
             out = build_quantized_linear(
                 lin, cfg, Q[:, perm], scales, zeros, w_qtype=w_qtype,
+                w_symmetric=cfg.w_qscheme == "symmetric",
             )
             if out.packed is not None:
                 return out.replace(perm=perm)
             return build_quantized_linear(
-                lin, cfg, Q, scales, zeros, w_qtype=w_qtype, pack_ok=False
+                lin, cfg, Q, scales, zeros, w_qtype=w_qtype, pack_ok=False,
+                w_symmetric=cfg.w_qscheme == "symmetric",
             )
         pack_ok = groupsize <= 0 or not cfg.actorder
         return build_quantized_linear(
-            lin, cfg, Q, scales, zeros, w_qtype=w_qtype, pack_ok=pack_ok
+            lin, cfg, Q, scales, zeros, w_qtype=w_qtype, pack_ok=pack_ok,
+            w_symmetric=cfg.w_qscheme == "symmetric",
         )

@@ -230,3 +230,42 @@ class ContinuousBatcher:
         for r in reqs:
             results[r.rid] = r.tokens
         return results
+
+
+def shard_batcher(batcher: "ContinuousBatcher", mesh) -> "ContinuousBatcher":
+    """Distribute a ContinuousBatcher over a mesh: slots shard across 'data'
+    (each host/data-shard owns n_slots/|data| sequences), model params follow
+    the TP rules — the north star's "continuous batching across hosts".
+
+    The decode step is the same jitted program: GSPMD partitions the per-slot
+    cache updates and the TP matmuls from the NamedShardings alone. Requires
+    n_slots % mesh.shape['data'] == 0 (slot axis cuts evenly).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.sharding import shard_model
+
+    if batcher.n_slots % mesh.shape["data"]:
+        raise ValueError(
+            f"n_slots={batcher.n_slots} not divisible by data={mesh.shape['data']}")
+    batcher.model = shard_model(batcher.model, mesh)
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    if isinstance(batcher.cache, dict):  # stacked megakernel cache [L,B,...]
+        batcher.cache = {
+            f: put(v, P(None, "data") + P(*([None] * (v.ndim - 2))))
+            for f, v in batcher.cache.items()
+        }
+    else:  # per-layer list: slot axis leads
+        def slot_spec(v):
+            return P("data") + P(*([None] * (v.ndim - 1)))
+
+        if isinstance(batcher.cache[0], dict):
+            batcher.cache = [{f: put(v, slot_spec(v)) for f, v in c.items()}
+                             for c in batcher.cache]
+        else:
+            batcher.cache = [tuple(put(v, slot_spec(v)) for v in c)
+                             for c in batcher.cache]
+    return batcher

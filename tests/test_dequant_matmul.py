@@ -178,3 +178,31 @@ def test_fused_int2(rng):
     x = rng.normal(size=(8, 256)).astype(np.float32)
     y = np.asarray(quant_linear_apply(qlin, jnp.asarray(x), fused=True))
     np.testing.assert_allclose(y, x @ fake_w.T, rtol=1e-4, atol=1e-3)
+
+
+def test_gptq_affine_int8_never_routes_native_w8a8():
+    """Regression (r2 code review): affine GPTQ int8 zeros span [0,255]; the
+    native int8 path's (q - zero).astype(int8) would wrap. The spec must carry
+    w_symmetric=False for affine GPTQ so routing skips w8a8_matmul, and the
+    fused forward must equal the unfused fake-quant forward."""
+    import mi_optimize_tpu as mt
+    from mi_optimize_tpu.models.model import Model
+    from mi_optimize_tpu.models import llama
+    from mi_optimize_tpu.ops.int8_matmul import supports_native_int8
+    from mi_optimize_tpu.quant.config import QuantConfig
+
+    m = Model.tiny_llama()
+    rng = np.random.default_rng(41)
+    batches = [rng.integers(0, 256, (1, 32))]
+    qcfg = QuantConfig(algo="gptq", wbit="int8", abit="int8",
+                       w_qtype="per_channel", a_qtype="per_token",
+                       quantization_type="dynamic", blocksize=16,
+                       actorder=False, pack=True)
+    qm = mt.quantize(m, qcfg, calib_data=batches)
+    lin = qm.params["layers"][0]["q_proj"]
+    assert lin.spec.w_symmetric is False  # affine default (w_qscheme='affine')
+    assert not supports_native_int8(lin.spec)
+    ids = rng.integers(0, 256, (1, 16))
+    y_f = np.asarray(llama.forward(qm.params, qm.config, jnp.asarray(ids), fused=True))
+    y_u = np.asarray(llama.forward(qm.params, qm.config, jnp.asarray(ids), fused=False))
+    np.testing.assert_allclose(y_f, y_u, rtol=2e-3, atol=2e-3)

@@ -65,7 +65,8 @@ def test_rolling_ll_matches_hand_computed_nll():
     lm = LMEvalModel(m, tok, fused=False, max_length=64)
     text = "The quick brown fox"
     (ll,) = lm.loglikelihood_rolling([text])
-    ids = [getattr(tok, "bos_token_id", 0) or 0] + list(tok.encode(text))
+    # the reference hardcodes prefix token id 2 (lmeval.py:101)
+    ids = [2] + list(tok.encode(text))
     logits = llama.forward(m.params, m.config, jnp.asarray([ids[:-1]]), fused=False)
     lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
     expect = sum(float(lp[0, t - 1, ids[t]]) for t in range(1, len(ids)))

@@ -275,3 +275,42 @@ def test_generate_temperature_and_eos():
     eos = int(ref[0, 6])
     out2 = generate(m, prompt, max_new_tokens=8, eos_token_id=eos, fused=False)
     assert out2.shape[1] == 7  # stopped right after the first (eos) token
+
+
+def test_continuous_batching_across_hosts():
+    """North star "continuous batching across hosts": slots shard over the
+    'data' mesh axis + TP over 'model'; scheduler output == per-request
+    generate, including a mid-flight join (8-device CPU mesh)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mi_optimize_tpu.parallel import make_mesh
+    from mi_optimize_tpu.serving.batching import ContinuousBatcher, shard_batcher
+
+    m = Model.tiny_llama()
+    rng = np.random.default_rng(17)
+    p1 = rng.integers(0, 256, (8,))
+    p2 = rng.integers(0, 256, (12,))
+    p3 = rng.integers(0, 256, (5,))
+    ref = {i: list(generate(m, p[None, :], max_new_tokens=5, fused=False,
+                            cache_dtype=jnp.int8)[0, len(p):])
+           for i, p in enumerate([p1, p2, p3])}
+
+    mesh = make_mesh(n_model=2, n_data=2)
+    b = ContinuousBatcher(m, n_slots=2, max_len=64, fused=False,
+                          cache_dtype=jnp.int8)
+    b = shard_batcher(b, mesh)
+    r1 = b.add_request(p1, max_new_tokens=5)
+    r2 = b.add_request(p2, max_new_tokens=5)
+    reqs = {r1: b.slot_req[0], r2: b.slot_req[1]}
+    r3 = req3 = None
+    for _ in range(20):
+        b.step()
+        if r3 is None and None in b.slot_req:
+            r3 = b.add_request(p3, max_new_tokens=5)
+            req3 = [r for r in b.slot_req if r and r.rid == r3][0]
+        if all(s is None for s in b.slot_req):
+            break
+    assert reqs[r1].tokens == ref[0]
+    assert reqs[r2].tokens == ref[1]
+    assert req3 is not None and req3.tokens == ref[2]
