@@ -623,6 +623,8 @@ def _kernel_b(
     # scratch
     x_sc, qkv_acc, attn_sc, oacc_sc, xmid_sc, h2_sc, mlp_acc,
     q_sc, m_sc, l_sc, fa_sc,
+    # TP ring scratch (dummies when tp == 1)
+    tp_send, tp_comm, tp_send_sem, tp_recv_sem,
     *,
     bsz, bits, hidden, q_dim, kv_dim, inter,
     n_heads, n_kv_heads, head_dim,
@@ -630,6 +632,7 @@ def _kernel_b(
     tka, to_, ti,
     out_dtype, rms_eps,
     zc_qkv, zc_o, zc_gu, zc_d,
+    tp=1, tp_axis=None,
 ):
     l = pl.program_id(0)
     jl = pl.program_id(1)
@@ -639,9 +642,41 @@ def _kernel_b(
     scale = 1.0 / float(np.sqrt(head_dim))
     ntB = bsz * nt
 
+    def ring_allreduce(value, slot_base):
+        """Blocking ring all-reduce of a [B, hidden] f32 partial across the
+        'model' shards: D-1 pass-and-add exchanges over async remote DMAs.
+        Tiny buffers (B*h*4 bytes) — latency-bound; each exchange hides behind
+        nothing here because the dependent phase starts immediately, but the
+        whole-model launch still amortizes ONE set of semaphores across all
+        2*L reduce points via slot reuse (exchanges are fully blocking)."""
+        me = jax.lax.axis_index(tp_axis)
+        right = {tp_axis: jax.lax.rem(me + 1, tp)}
+        for t in range(tp - 1):
+            s = slot_base + t
+            tp_send[s] = value
+            pltpu.make_async_remote_copy(
+                src_ref=tp_send.at[s], dst_ref=tp_comm.at[s],
+                send_sem=tp_send_sem.at[s], recv_sem=tp_recv_sem.at[s],
+                device_id=right, device_id_type=pltpu.DeviceIdType.MESH,
+            ).start()
+            pltpu.make_async_copy(tp_comm.at[s], tp_comm.at[s],
+                                  tp_recv_sem.at[s]).wait()
+            value = value + tp_comm[s]
+            pltpu.make_async_copy(tp_send.at[s], tp_send.at[s],
+                                  tp_send_sem.at[s]).wait()
+        return value
+
     @pl.when((l == 0) & (jl == 0))
     def _():
         x_sc[:] = x_ref[:].astype(jnp.float32)
+        if tp > 1:
+            # neighbour barrier before any remote DMA can land (pallas guide)
+            me = jax.lax.axis_index(tp_axis)
+            barrier = pltpu.get_barrier_semaphore()
+            for nb in (jax.lax.rem(me + 1, tp), jax.lax.rem(me - 1 + tp, tp)):
+                pltpu.semaphore_signal(barrier, inc=1, device_id={tp_axis: nb},
+                                       device_id_type=pltpu.DeviceIdType.MESH)
+            pltpu.semaphore_wait(barrier, 2)
 
     # ---------------- phase 1: qkv_acc += h_tile @ Wqkv_tile  (B rows)
     @pl.when(jl < nq)
@@ -809,7 +844,11 @@ def _kernel_b(
 
         @pl.when(m == 0)
         def _():
-            xmid = x_sc[:] + oacc_sc[:]
+            oacc = oacc_sc[:]
+            if tp > 1:
+                # o-proj is row-parallel (local q heads): sum partials
+                oacc = ring_allreduce(oacc, 0)
+            xmid = x_sc[:] + oacc
             xmid_sc[:] = xmid
             rstd2 = jax.lax.rsqrt(
                 jnp.mean(xmid * xmid, axis=-1, keepdims=True) + rms_eps)
@@ -868,7 +907,13 @@ def _kernel_b(
 
         @pl.when(m == ni - 1)
         def _():
-            x_new = xmid_sc[:] + mlp_acc[:]
+            mlp = mlp_acc[:]
+            if tp > 1:
+                # down-proj is row-parallel (local intermediate): sum partials;
+                # slot parity alternates with the o-proj reduce (see
+                # ring_allreduce docstring)
+                mlp = ring_allreduce(mlp, tp - 1)
+            x_new = xmid_sc[:] + mlp
             x_sc[:] = x_new
 
             @pl.when(l == n_layers - 1)
@@ -876,25 +921,38 @@ def _kernel_b(
                 xo_ref[:] = x_new.astype(xo_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "meta", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "meta", "interpret", "tp", "tp_axis"))
 def model_decode_mega_batch(stack, x, cos, sin, cache, positions, cfg, meta,
-                            interpret=False):
+                            interpret=False, tp=1, tp_axis=None):
     """B-slot whole-model decode: x [B,1,H], per-slot positions [B].
 
     cache: HEAD-TRANSPOSED stacked dict {"k": [L,B,Hkv,T,D] int8, "v": ...,
     "k_scale": [L,B,Hkv,T], "v_scale": ...} (see stack_cache_batched).
     Returns (x_out [B,1,H], krows [L,B,Hkv,D], vrows, ksr [L,B,Hkv],
     vsr) — the caller scatters rows at each slot's position.
+
+    Head/intermediate dimensions come from the ARRAY shapes, not cfg: under
+    tensor parallelism (tp>1, called per-shard inside shard_map — see
+    serving/megadecode.model_step_batch_tp) the q/kv heads and the MLP
+    intermediate are the LOCAL shards, the residual stays full-width and
+    replicated, and the two row-parallel partial sums (o-proj, down-proj) are
+    ring-all-reduced IN-kernel over async remote DMAs.
     """
     bits, g_qkv, g_o, g_gu, g_d, zc_qkv, zc_o, zc_gu, zc_d = meta
     h = cfg.hidden_size
-    q_dim = cfg.num_heads * cfg.head_dim
-    kv_dim = cfg.num_kv_heads * cfg.head_dim
     vpw = 32 // bits
     L = cfg.num_layers
     B = x.shape[0]
+    # local (per-shard) dims from the operands
+    Hkv = cache["k"].shape[2]
+    kv_dim = Hkv * cfg.head_dim
+    q_dim = stack["qkv"].shape[2] - 2 * kv_dim  # n_qkv(local) - 2*kv(local)
+    n_heads = q_dim // cfg.head_dim
+    inter_p = stack["d"].shape[1] * vpw
 
-    tka, to_, ti, inter_p = _model_tiles(cfg)
+    tka, to_, ti, _ = _model_tiles(cfg)
+    to_ = _pick_tile(q_dim) or q_dim
     nq, no, ni = h // tka, q_dim // to_, inter_p // ti
     max_len = cache["k"].shape[3]
     tb = 256 if (max_len % 256 == 0 and max_len >= 1024) else 128
@@ -909,13 +967,14 @@ def model_decode_mega_batch(stack, x, cos, sin, cache, positions, cfg, meta,
     kern = functools.partial(
         _kernel_b, bsz=B, bits=bits, hidden=h, q_dim=q_dim, kv_dim=kv_dim,
         inter=inter_p,
-        n_heads=cfg.num_heads, n_kv_heads=cfg.num_kv_heads,
+        n_heads=n_heads, n_kv_heads=Hkv,
         head_dim=cfg.head_dim,
         g_qkv=g_qkv, g_o=g_o, g_gu=g_gu, g_d=g_d,
         nq=nq, no=no, ni=ni, nt=nt, tb=tb, spl=spl, n_layers=L,
         tka=tka, to_=to_, ti=ti,
         out_dtype=x.dtype, rms_eps=cfg.rms_eps,
         zc_qkv=zc_qkv, zc_o=zc_o, zc_gu=zc_gu, zc_d=zc_d,
+        tp=tp, tp_axis=tp_axis,
     )
 
     t_qkv = lambda l, j, p: jnp.minimum(j, nq - 1)
@@ -948,7 +1007,7 @@ def model_decode_mega_batch(stack, x, cos, sin, cache, positions, cfg, meta,
             lambda l, j, p: (l, ((tile_of(l, j, p) * tk) // g) // 8, 0))
 
     n_qkv = q_dim + 2 * kv_dim
-    Hkv, D = cfg.num_kv_heads, cfg.head_dim
+    D = cfg.head_dim
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -999,10 +1058,15 @@ def model_decode_mega_batch(stack, x, cos, sin, cache, positions, cfg, meta,
             pltpu.VMEM((B, h), jnp.float32),
             pltpu.VMEM((B, h), jnp.float32),
             pltpu.VMEM((B, h), jnp.float32),
-            pltpu.VMEM((B * cfg.num_heads, D), jnp.float32),
-            pltpu.VMEM((B * cfg.num_heads, D), jnp.float32),
-            pltpu.VMEM((B * cfg.num_heads, D), jnp.float32),
-            pltpu.VMEM((B * cfg.num_heads, D), jnp.float32),
+            pltpu.VMEM((B * n_heads, D), jnp.float32),
+            pltpu.VMEM((B * n_heads, D), jnp.float32),
+            pltpu.VMEM((B * n_heads, D), jnp.float32),
+            pltpu.VMEM((B * n_heads, D), jnp.float32),
+            # TP ring buffers + semaphores (tiny dummies when tp == 1)
+            pltpu.VMEM((max(2 * (tp - 1), 1), B, h), jnp.float32),
+            pltpu.VMEM((max(2 * (tp - 1), 1), B, h), jnp.float32),
+            pltpu.SemaphoreType.DMA((max(2 * (tp - 1), 1),)),
+            pltpu.SemaphoreType.DMA((max(2 * (tp - 1), 1),)),
         ],
     )
 
@@ -1017,8 +1081,11 @@ def model_decode_mega_batch(stack, x, cos, sin, cache, positions, cfg, meta,
             jax.ShapeDtypeStruct((L, B, 1, Hkv), jnp.float32),
             jax.ShapeDtypeStruct((L, B, 1, Hkv), jnp.float32),
         ],
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=(pltpu.InterpretParams() if (interpret and tp > 1)
+                   else interpret),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+            **({"collective_id": 3} if tp > 1 else {})),
     )(
         pos_arr,
         x_rows, stack["n1"],

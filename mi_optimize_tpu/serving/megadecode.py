@@ -207,3 +207,191 @@ def model_step_batch(params, stack, meta, cfg, tokens, cache, positions,
     h = llama.rms_norm(x, params["final_norm"], cfg.rms_eps)
     logits = llama.unembed(params, cfg, h, fused=not interpret)[:, 0]
     return logits, cache
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel batched megakernel: shard-major stacks + shard_map step
+# ---------------------------------------------------------------------------
+#
+# Megatron head/intermediate parallelism of the whole-model kernel itself:
+# q/kv heads and the MLP intermediate shard over the 'model' mesh axis, the
+# residual stream stays full-width and replicated, and the two row-parallel
+# partial sums (o-proj, down-proj) are ring-all-reduced IN-kernel over async
+# remote DMAs (ops/model_fused.py::_kernel_b ring_allreduce) — the serving
+# analogue of parallel/overlap.py's calibration-path overlap, keeping the
+# one-launch-per-step property on every shard.
+
+
+def _lin_out_slices(lin, spans):
+    """Slice a QuantizedLinear along OUT-features (packed cols + scale rows)."""
+    import jax.numpy as jnp
+
+    packed = jnp.concatenate([lin.packed[:, a:b] for a, b in spans], axis=1)
+    n_new = sum(b - a for a, b in spans)
+    ng = lin.in_features // _grp(lin)
+    sc = jnp.reshape(lin.w_scale, (-1, ng))
+    zr = jnp.reshape(lin.w_zero, (-1, ng))
+    scale = jnp.concatenate([sc[a:b] for a, b in spans], axis=0)
+    zero = jnp.concatenate([zr[a:b] for a, b in spans], axis=0)
+    return lin.replace(packed=packed, w_scale=scale, w_zero=zero,
+                       out_features=n_new)
+
+
+def _lin_in_slice(lin, a, b):
+    """Slice a QuantizedLinear along IN-features (packed rows + scale groups)."""
+    import jax.numpy as jnp
+
+    bits = lin.spec.wbit
+    vpw = 32 // bits
+    packed = lin.packed[a // vpw:b // vpw]
+    g = _grp(lin)
+    ng = lin.in_features // g
+    sc = jnp.reshape(lin.w_scale, (-1, ng))[:, a // g:b // g]
+    zr = jnp.reshape(lin.w_zero, (-1, ng))[:, a // g:b // g]
+    spec = lin.spec
+    if spec.w_qtype == "per_channel":
+        # one group spanned K; the slice keeps the same per-channel params
+        sc, zr = jnp.reshape(lin.w_scale, (-1, 1)), jnp.reshape(lin.w_zero, (-1, 1))
+    return lin.replace(packed=packed, w_scale=sc, w_zero=zr, in_features=b - a)
+
+
+def stack_serving_tp(model: Model, ntp: int):
+    """(global shard-major stack, meta, cfg_local) for TP over `ntp` shards.
+
+    Each shard's stack is built independently (reusing the single-device
+    stacking incl. per-shard MLP padding) and concatenated along its sharded
+    axis, so shard_map's contiguous cuts recover exactly the per-shard
+    arrays. Returns None when the model/config can't shard (head counts,
+    group alignment, megakernel contract)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ..ops.block_fused import prepare_block
+    from ..ops.model_fused import stack_decode_params
+
+    cfg = model.config
+    layers = model.params["layers"]
+    if not layers or "qkv_proj" not in layers[0]:
+        return None
+    if (cfg.num_heads % ntp or cfg.num_kv_heads % ntp
+            or cfg.intermediate_size % ntp):
+        return None
+    dh = cfg.head_dim
+    q_dim = cfg.num_heads * dh
+    kv_dim = cfg.num_kv_heads * dh
+    inter = cfg.intermediate_size
+    qdl, kvl, il = q_dim // ntp, kv_dim // ntp, inter // ntp
+    g0 = _grp(layers[0]["down_proj"])
+    if il % max(g0, 1) or (qdl * layers[0]["qkv_proj"].spec.wbit) % 32 \
+            or (il * layers[0]["down_proj"].spec.wbit) % 32:
+        return None
+
+    cfg_l = dataclasses.replace(cfg, num_heads=cfg.num_heads // ntp,
+                                num_kv_heads=cfg.num_kv_heads // ntp,
+                                intermediate_size=il)
+
+    def shard_block(blk, s):
+        qkv = _lin_out_slices(blk["qkv_proj"], [
+            (s * qdl, (s + 1) * qdl),
+            (q_dim + s * kvl, q_dim + (s + 1) * kvl),
+            (q_dim + kv_dim + s * kvl, q_dim + kv_dim + (s + 1) * kvl),
+        ])
+        gu = _lin_out_slices(blk["gateup_proj"], [
+            (s * il, (s + 1) * il),
+            (inter + s * il, inter + (s + 1) * il),
+        ])
+        o = _lin_in_slice(blk["o_proj"], s * qdl, (s + 1) * qdl)
+        d = _lin_in_slice(blk["down_proj"], s * il, (s + 1) * il)
+        nb = {"input_norm": blk["input_norm"], "post_norm": blk["post_norm"],
+              "qkv_proj": qkv, "o_proj": o, "gateup_proj": gu, "down_proj": d}
+        nb["mega"] = prepare_block(nb, cfg_l)
+        return nb
+
+    stacks, metas = [], []
+    for s in range(ntp):
+        model_s = Model(
+            config=cfg_l,
+            params={"layers": [shard_block(b, s) for b in layers],
+                    "embed": model.params["embed"],
+                    "final_norm": model.params["final_norm"]},
+            family=model.family)
+        st = stack_serving(model_s)
+        if st is None:
+            return None
+        stacks.append(st[0])
+        metas.append(st[1])
+    if any(m != metas[0] for m in metas[1:]):
+        return None
+
+    AXIS = {"qkv": 2, "qs": 2, "qz": 2, "o": 1, "os": 1, "oz": 1,
+            "gu": 2, "gus": 2, "guz": 2, "d": 1, "ds": 1, "dz": 1}
+    gstack = {}
+    for k in stacks[0]:
+        if k in AXIS:
+            gstack[k] = jnp.concatenate([st[k] for st in stacks], axis=AXIS[k])
+        else:  # n1 / n2: replicated
+            gstack[k] = stacks[0][k]
+    return gstack, metas[0], cfg_l
+
+
+_TP_STACK_SPECS = {
+    "qkv": (None, None, "model"), "qs": (None, None, "model"),
+    "qz": (None, None, "model"),
+    "o": (None, "model", None), "os": (None, "model", None),
+    "oz": (None, "model", None),
+    "gu": (None, None, "model"), "gus": (None, None, "model"),
+    "guz": (None, None, "model"),
+    "d": (None, "model", None), "ds": (None, "model", None),
+    "dz": (None, "model", None),
+    "n1": (None, None, None), "n2": (None, None, None),
+}
+
+
+def model_step_batch_tp(params, gstack, meta, cfg, tokens, cache, positions,
+                        mesh, axis="model", interpret=False):
+    """One B-slot decode step with the megakernel TENSOR-PARALLEL over `axis`.
+
+    cache: stacked batched dict sharded on its head axis
+    ([L,B,Hkv,T,D] with Hkv over `axis`). Returns (logits [B,V], cache).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    ntp = mesh.shape[axis]
+    B = tokens.shape[0]
+    x = llama.embed(params, tokens)
+    cos, sin = llama.rope_tables(cfg, positions[:, None])
+    cosr = cos.reshape(B, -1)[:, -cfg.head_dim:]
+    sinr = sin.reshape(B, -1)[:, -cfg.head_dim:]
+
+    from ..ops.model_fused import model_decode_mega_batch
+
+    def local(xs, cs, sn, ps, st, ck, cv, ks, vs):
+        c = {"k": ck, "v": cv, "k_scale": ks, "v_scale": vs}
+        return model_decode_mega_batch(st, xs, cs, sn, c, ps, cfg, meta,
+                                       interpret=interpret, tp=ntp,
+                                       tp_axis=axis)
+
+    stack_specs = {k: P(*_TP_STACK_SPECS[k]) for k in gstack}
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, None, None), P(None, None), P(None, None), P(None),
+                  stack_specs,
+                  P(None, None, axis, None, None), P(None, None, axis, None, None),
+                  P(None, None, axis, None), P(None, None, axis, None)),
+        out_specs=(P(None, None, None),
+                   P(None, None, axis, None), P(None, None, axis, None),
+                   P(None, None, axis), P(None, None, axis)),
+        check_vma=False,
+    )
+    x2, krows, vrows, ksr, vsr = f(
+        x, cosr, sinr, jnp.asarray(positions).astype(jnp.int32), gstack,
+        cache["k"], cache["v"], cache["k_scale"], cache["v_scale"])
+    krows, vrows, ksr, vsr = jax.lax.optimization_barrier(
+        (krows, vrows, ksr, vsr))
+    cache = _scatter_rows_batched(cache, krows, vrows, ksr, vsr,
+                                  jnp.asarray(positions))
+    h = llama.rms_norm(x2, params["final_norm"], cfg.rms_eps)
+    logits = llama.unembed(params, cfg, h, fused=not interpret)[:, 0]
+    return logits, cache

@@ -17,8 +17,8 @@ from mi_optimize_tpu.serving.megadecode import (
 from tests.test_block_fused import _mk_cfg, _mk_params
 
 
-def _mega_model(seed=0):
-    cfg = _mk_cfg(num_layers=2, max_seq_len=512)
+def _mega_model(seed=0, **cfg_kw):
+    cfg = _mk_cfg(num_layers=2, max_seq_len=512, **cfg_kw)
     return fuse_for_serving(Model(config=cfg, params=_mk_params(cfg, seed=seed),
                                   family="llama"))
 
@@ -151,3 +151,60 @@ def test_continuous_batcher_megakernel_path():
     assert reqs[r1].tokens == ref[0]
     assert reqs[r2].tokens == ref[1]
     assert req3 is not None and req3.tokens == ref[2]
+
+
+@pytest.mark.parametrize("ntp", [2])
+def test_tp_batched_megakernel_matches_single_device(ntp):
+    """TENSOR-PARALLEL batched megakernel (heads + MLP intermediate sharded,
+    in-kernel ring all-reduce of the o/down partials over simulated remote
+    DMAs) == the single-device batched kernel, logits and KV rows.
+
+    ntp=2 only: the TPU-interpret DMA simulation makes wider rings
+    prohibitively slow on CPU (ntp=4 ran >25 min); the ring loop is
+    D-generic (same code path as parallel/overlap.py, tested at D=4)."""
+    from mi_optimize_tpu.parallel import make_mesh
+    from mi_optimize_tpu.serving.megadecode import (
+        model_step_batch_tp, stack_serving_tp)
+
+    model = _mega_model(seed=3)
+    cfg = model.config
+    stack, meta = stack_serving(model)
+    tp = stack_serving_tp(model, ntp)
+    assert tp is not None, "TP sharding contract not satisfied"
+    gstack, meta_tp, _ = tp
+    assert meta_tp == meta
+
+    rng = np.random.default_rng(9)
+    B, T = 2, 128
+    positions = np.array([6, 17])
+    cache = init_cache(cfg, B, T, jnp.int8)
+    last = np.zeros((B, 1), np.int64)
+    prompts = [rng.integers(0, 128, (1, int(p))) for p in positions]
+    for b, p in enumerate(prompts):
+        one = init_cache(cfg, 1, T, jnp.int8)
+        logits, one = prefill(model.params, cfg, jnp.asarray(p), one, False)
+        last[b, 0] = int(np.argmax(np.asarray(logits[0])))
+        for c, o in zip(cache, one):
+            for f in c:
+                c[f] = c[f].at[b].set(o[f][0])
+
+    sc = stack_cache_batched(cache)
+    ref_logits, ref_cache = model_step_batch(
+        model.params, stack, meta, cfg, jnp.asarray(last), sc,
+        jnp.asarray(positions), interpret=True)
+
+    mesh = make_mesh(n_model=ntp, n_data=1)
+    tp_logits, tp_cache = model_step_batch_tp(
+        model.params, gstack, meta, cfg, jnp.asarray(last), sc,
+        jnp.asarray(positions), mesh, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(tp_logits), np.asarray(ref_logits),
+                               rtol=2e-3, atol=2e-3)
+    for b in range(B):
+        assert (int(np.argmax(np.asarray(tp_logits)[b]))
+                == int(np.argmax(np.asarray(ref_logits)[b]))), b
+    # KV rows written at each slot's position match the single-device kernel
+    for f in ("k", "v"):
+        np.testing.assert_array_equal(
+            np.asarray(tp_cache[f][:, 0, :, int(positions[0])]),
+            np.asarray(ref_cache[f][:, 0, :, int(positions[0])]))
