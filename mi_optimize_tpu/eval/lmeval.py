@@ -240,13 +240,52 @@ def register_task(name):
     return deco
 
 
+def expand_task_names(eval_tasks) -> List[str]:
+    """Alias/bundle expansion with reference semantics
+    (mi_optimize/datasets/load_lmeval.py:15-32, :72-108): 'anli' -> the three
+    rounds, 'blimp' -> all 67 UIDs, 'arc' -> easy+challenge, and the
+    'all_tasks_0s' / 'all_tasks_5s' / 'test_tasks' bundles (only when they
+    are the sole entry, matching the reference's len==1 guard)."""
+    from . import lmeval_tasks  # noqa: F401  (registry side-effect)
+
+    tasks = [eval_tasks] if isinstance(eval_tasks, str) else list(eval_tasks)
+    blimp = sorted(n for n in TASK_REGISTRY if n.startswith("blimp_"))
+    crows = [n for n in TASK_REGISTRY if n.startswith("crows_pairs_")]
+    shared = (["winogrande", "wsc273", "race", "anli_r1", "anli_r2", "anli_r3",
+               "pubmedqa"],
+              ["openbookqa", "arc_easy", "arc_challenge", "sciq", "swag",
+               "piqa", "hellaswag"],
+              ["glue_mnli", "glue_mnli_mismatched", "glue_rte", "glue_qnli",
+               "glue_sst", "glue_wnli", "mathqa", "mc_taco", "mutual",
+               "mutual_plus", "qa4mre_2011", "qa4mre_2012", "qa4mre_2013",
+               "toxigen"])
+    bundles = {
+        "all_tasks_0s": shared[0] + shared[1] + crows + shared[2],
+        "all_tasks_5s": shared[0] + blimp + shared[1] + shared[2]
+                        + ["triviaqa"],
+        "test_tasks": [],
+    }
+    if "anli" in tasks:
+        tasks.remove("anli")
+        tasks += ["anli_r1", "anli_r2", "anli_r3"]
+    if "blimp" in tasks:
+        tasks.remove("blimp")
+        tasks += blimp
+    if "arc" in tasks:
+        tasks.remove("arc")
+        tasks += ["arc_easy", "arc_challenge"]
+    for bundle, expansion in bundles.items():
+        if bundle in tasks and len(tasks) == 1:
+            tasks = list(expansion)
+    return tasks
+
+
 def evaluate_tasks(model: Model, tokenizer, eval_tasks, num_shot=0, fused=True,
                    max_docs=None, seed=1234,
                    allow_empty=False) -> Dict[str, Dict[str, float]]:
     from . import lmeval_tasks  # noqa: F401  (registry side-effect)
 
-    if isinstance(eval_tasks, str):
-        eval_tasks = [eval_tasks]
+    eval_tasks = expand_task_names(eval_tasks)
     lm = LMEvalModel(model, tokenizer, fused=fused)
     rng = np.random.default_rng(seed)
     results = {}
@@ -274,6 +313,12 @@ def evaluate_tasks(model: Model, tokenizer, eval_tasks, num_shot=0, fused=True,
                 res = lm.loglikelihood(reqs)
             elif task.request_type == "loglikelihood_rolling":
                 res = lm.loglikelihood_rolling([reqs])[0]
+            elif task.request_type == "mixed":
+                # per-request typed dispatch (reference tasks like squad2 /
+                # qasper mix greedy_until and loglikelihood in one doc)
+                res = [lm.loglikelihood([payload])[0] if kind == "loglikelihood"
+                       else lm.greedy_until([payload])[0]
+                       for kind, payload in reqs]
             else:
                 res = lm.greedy_until(reqs)
             metrics.append(task.process_results(doc, res))

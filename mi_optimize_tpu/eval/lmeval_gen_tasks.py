@@ -489,11 +489,13 @@ class _HeadQA(_HFMultipleChoice):
 @register_task("headqa_en")
 class HeadQAEn(_HeadQA):
     name = "en"
+    offline_key = "headqa_en"  # official test_HEAD_EN.json
 
 
 @register_task("headqa_es")
 class HeadQAEs(_HeadQA):
     name = "es"
+    offline_key = "headqa_es"  # official test_HEAD.json
 
 
 class _MuTual(_HFMultipleChoice):
@@ -524,12 +526,13 @@ class _MuTual(_HFMultipleChoice):
 
 @register_task("mutual")
 class MuTual(_MuTual):
-    pass
+    offline_key = "mutual"  # official dev/ txt-file directory
 
 
 @register_task("mutual_plus")
 class MuTualPlus(_MuTual):
     name = "mutual_plus"
+    offline_key = "mutual_plus"
 
 
 class _QA4MRE(_HFMultipleChoice):
@@ -619,3 +622,8 @@ class WSC273(Task):
     def process_results(self, doc, results):
         lls = [r[0] for r in results]
         return {"acc": float(int(np.argmax(lls)) == int(doc["label"]))}
+
+
+# round-3 additions (squad2/mc_taco/qasper/toxigen/math_asdiv + reference-name
+# aliases) — imported for the registry side-effect
+from . import lmeval_more_tasks  # noqa: E402,F401

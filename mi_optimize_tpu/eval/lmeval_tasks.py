@@ -97,12 +97,19 @@ class _HFMultipleChoice(MultipleChoiceTask):
     path: str
     name = None
     split = "validation"
+    offline_key = None  # datasets/lmdatasets.py raw-format builder, if any
 
     def docs(self):
         # memoized: fewshot_context calls docs() per evaluated doc, which
         # would otherwise re-run load_dataset O(n) times (r2 code review)
         if not hasattr(self, "_docs_cache"):
-            self._docs_cache = _hf_docs(self.path, self.name, self.split)
+            if self.offline_key:
+                from ..datasets import lmdatasets
+
+                self._docs_cache = lmdatasets.load_docs(
+                    self.offline_key, self.path, self.name, self.split)
+            else:
+                self._docs_cache = _hf_docs(self.path, self.name, self.split)
         return self._docs_cache
 
     def fewshot_context(self, doc, num_shot, rng):
@@ -321,6 +328,7 @@ class LogiQA(_HFMultipleChoice):
 
     path = "lucasmccabe/logiqa"
     split = "validation"
+    offline_key = "logiqa"  # official Eval.txt via datasets/lmdatasets.py
 
     def query(self, doc):
         prompt = "Passage: " + doc["context"] + "\n"
