@@ -45,7 +45,10 @@ def _ref_available():
     return os.path.isdir(REF)
 
 
-pytestmark = pytest.mark.skipif(not _ref_available(), reason="reference unavailable")
+pytestmark = [
+    pytest.mark.slow,  # ~16 min: runs the torch reference per config
+    pytest.mark.skipif(not _ref_available(), reason="reference unavailable"),
+]
 
 
 class _Stub(types.ModuleType):

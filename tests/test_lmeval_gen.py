@@ -160,7 +160,11 @@ def test_greedy_until_task_end_to_end(tmp_path, monkeypatch):
     assert 0.0 <= res["coqa"]["f1"] <= 1.0 and 0.0 <= res["coqa"]["em"] <= 1.0
 
 
-def test_empty_task_hard_fails():
+def test_empty_task_hard_fails(monkeypatch):
+    # offline mode makes the HF fallback fail instantly instead of paying
+    # ~20s of connection retries for the expected miss
+    monkeypatch.setenv("HF_DATASETS_OFFLINE", "1")
+    monkeypatch.delenv("MI_TPU_DATA_DIR", raising=False)
     m = Model.tiny_llama(max_seq_len=256, vocab_size=300)
     with pytest.raises(RuntimeError, match="0 docs"):
         evaluate_tasks(m, ByteTokenizer(), ["triviaqa"], fused=False)

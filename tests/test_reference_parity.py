@@ -300,6 +300,7 @@ def test_spqr_find_params_parity(ref):
 # QuIP pipeline — the ACTUAL reference implementations on identical inputs
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow  # exhaustive 20x20 grid+clip search vs torch (~32s)
 def test_awq_full_search_parity(ref):
     """Reference LinearAwqQuantizer.quantize() — 20-pt ratio grid + per-group
     clip search + final asym per-group pack (AWQQuantizer.py:85-230) — vs our
