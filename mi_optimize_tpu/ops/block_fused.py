@@ -114,6 +114,83 @@ def _dequant_planar(wq, s, b, bits, group, tn):
     return (wv * s[None, :, None, :] + b[None, :, None, :]).reshape(wq.shape)
 
 
+def _unpack_planar_centered(w, bits):
+    """uint32 [W, N] -> f32 [W*vpw, N] plane-major CENTERED codes q - 2^(b-1).
+
+    Centering the codes before the MXU halves the bf16-pass product rounding
+    noise of the grouped-rescale dot (raw codes 0..2^b-1 carry the storage
+    offset into every product; measured 1.35e-2 vs 1.09e-2 rel logit noise
+    on-chip). Done with NO per-value subtract: one XOR per WORD flips each
+    field's MSB, then a left+arithmetic-right shift pair sign-extends the
+    field — sign_extend(q XOR 2^(b-1)) == q - 2^(b-1) exactly. ~3 ops/value
+    vs the uncentered unpack's ~2.75 (the shift pair replaces shift+mask)."""
+    vpw = 32 // bits
+    msb = 1 << (bits - 1)
+    pattern = sum(msb << (bits * i) for i in range(vpw))
+    wx = jax.lax.bitcast_convert_type(w ^ jnp.uint32(pattern), jnp.int32)
+
+    def field(i):
+        hi = 32 - bits * (i + 1)
+        t = wx if hi == 0 else wx << hi
+        return t >> (32 - bits)
+
+    return jnp.concatenate([field(i) for i in range(vpw)],
+                           axis=0).astype(jnp.float32)
+
+
+def _group_mask(ng, tk, vpw, g):
+    """[ng, tk] f32 constant: plane-major row r belongs to group
+    (r % (tk//vpw)) // (g//vpw) (see _dequant_planar's index algebra)."""
+    tkw = tk // vpw
+    gi = jax.lax.broadcasted_iota(jnp.int32, (ng, tk), 0)
+    r = jax.lax.broadcasted_iota(jnp.int32, (ng, tk), 1)
+    return ((r % tkw) // (g // vpw) == gi).astype(jnp.float32)
+
+
+def _qdot(hp, words, s, b, bits, g_eff, tn):
+    """Fused dequant-matmul of one streamed tile: hp [B, tk] (plane-major
+    permuted activation) x packed words [tk//vpw, tn] with scale/bias rows
+    s/b [ng, tn] -> [B, tn].
+
+    Two formulations, selected by MI_DEQ_GROUPED (default ON — measured
+    6.37 vs 8.03 ms/token whole-model 7B int4 on v5e via bench.py A/B;
+    see scripts/exp_dequant_variants.py + BENCH_DETAILS.md round 3):
+
+    * classic: dequantize the whole tile (per-value FMA q*s+b, with the
+      [ng, tn] rows broadcast to [tk, tn]) then one dot.
+    * grouped rescale: never dequantize. One dot of the group-masked
+      activation against the CENTERED raw codes gives per-group partial
+      sums D[g] = sum_{k in g} x_k (q_k - 2^(b-1)); then
+      y = sum_g s[g]*D[g] + (b[g] + 2^(b-1) s[g])*xs[g] applies scale/bias
+      on [ng, tn] instead of [tk, tn] — removing the per-value FMA from
+      this VPU-bound kernel. The extra MXU rows are free (8-row
+      granularity), the centered codes are exact in the MXU's bf16 passes,
+      and centering keeps product magnitudes at signal scale (uncentered
+      codes measurably doubled the bf16-pass rounding noise on-chip).
+    """
+    import os
+
+    vpw = 32 // bits
+    tk = hp.shape[1]
+    ng = max(tk // g_eff, 1)
+    bsz = hp.shape[0]
+    if os.environ.get("MI_DEQ_GROUPED", "1") == "0" or g_eff % vpw:
+        wq = _unpack_planar(words, bits)          # [tk, tn]
+        wd = _dequant_planar(wq, s, b, bits, g_eff, tn)
+        return jax.lax.dot_general(hp, wd, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    wq = _unpack_planar_centered(words, bits)     # [tk, tn] codes - 2^(b-1)
+    mask = _group_mask(ng, tk, vpw, g_eff)
+    xg = (hp[:, None, :] * mask[None]).reshape(bsz * ng, tk)
+    d = jax.lax.dot_general(xg, wq, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    xs = jnp.sum(xg, axis=1, keepdims=True)       # [B*ng, 1]
+    off = float(1 << (bits - 1))                  # fold the centering back
+    y = (d.reshape(bsz, ng, tn) * s[None]
+         + (b + off * s)[None] * xs.reshape(bsz, ng, 1))
+    return jnp.sum(y, axis=1)
+
+
 def _onehot_rows(start, n, total):
     """[n, total] f32 one-hot selecting rows [start, start+n) (traced start)."""
     r = jax.lax.broadcasted_iota(jnp.int32, (n, total), 0)
@@ -224,12 +301,9 @@ def _kernel(
         # chunk the N axis to bound the unpacked f32 transient
         cn = 1024 if n_qkv % 1024 == 0 else n_qkv
         for c in range(n_qkv // cn):
-            wq = _unpack_planar(qkv_ref[:, c * cn:(c + 1) * cn], bits)
-            wd = _dequant_planar(wq, s[:, c * cn:(c + 1) * cn],
-                                 z[:, c * cn:(c + 1) * cn], bits, ge, cn)
-            qkv_acc[:, c * cn:(c + 1) * cn] += jax.lax.dot_general(
-                hp, wd, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            sl = slice(c * cn, (c + 1) * cn)
+            qkv_acc[:, sl] += _qdot(hp, qkv_ref[:, sl], s[:, sl], z[:, sl],
+                                    bits, ge, cn)
 
     reps = n_heads // n_kv_heads
     scale = 1.0 / float(np.sqrt(head_dim))
@@ -326,12 +400,9 @@ def _kernel(
         s, z, ge = _select_sz(os_ref, oz_ref, kt, TO, g_o)
         cn = 1024 if hidden % 1024 == 0 else hidden
         for c in range(hidden // cn):
-            wq = _unpack_planar(o_ref_w[:, c * cn:(c + 1) * cn], bits)
-            wd = _dequant_planar(wq, s[:, c * cn:(c + 1) * cn],
-                                 z[:, c * cn:(c + 1) * cn], bits, ge, cn)
-            oacc_sc[:, c * cn:(c + 1) * cn] += jax.lax.dot_general(
-                ap, wd, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            sl = slice(c * cn, (c + 1) * cn)
+            oacc_sc[:, sl] += _qdot(ap, o_ref_w[:, sl], s[:, sl], z[:, sl],
+                                    bits, ge, cn)
 
     # ---------------- phase 4: MLP tiles — j in (nq+nt+no, nq+nt+no+ni]
     @pl.when(j > nq + nt + no)
@@ -365,29 +436,20 @@ def _kernel(
         for r in range(hidden // CH):
             hp_r = h2_sc[:, r * CH:(r + 1) * CH]
             rs = (r * CH) // g_gu
-            wg = _unpack_planar(g_ref[r * chw:(r + 1) * chw, :], bits)
-            wg = _dequant_planar(wg, gus_ref[rs:rs + ngc, :],
-                                 guz_ref[rs:rs + ngc, :], bits, g_eff, TI)
-            gate += jax.lax.dot_general(hp_r, wg, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-            wu = _unpack_planar(u_ref[r * chw:(r + 1) * chw, :], bits)
-            wu = _dequant_planar(wu, gus_ref[ngh + rs:ngh + rs + ngc, :],
-                                 guz_ref[ngh + rs:ngh + rs + ngc, :],
-                                 bits, g_eff, TI)
-            up += jax.lax.dot_general(hp_r, wu, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+            rows = slice(r * chw, (r + 1) * chw)
+            gate += _qdot(hp_r, g_ref[rows, :], gus_ref[rs:rs + ngc, :],
+                          guz_ref[rs:rs + ngc, :], bits, g_eff, TI)
+            up += _qdot(hp_r, u_ref[rows, :], gus_ref[ngh + rs:ngh + rs + ngc, :],
+                        guz_ref[ngh + rs:ngh + rs + ngc, :], bits, g_eff, TI)
         act = gate * (1.0 / (1.0 + jnp.exp(-gate))) * up  # [1, TI]
 
         ap = _perm_row(act, vpw)
         sd, zd, ged = _select_sz(ds_ref, dz_ref, m, TI, g_d)
         cn = 1024 if hidden % 1024 == 0 else hidden
         for c in range(hidden // cn):
-            wd_ = _unpack_planar(d_ref[:, c * cn:(c + 1) * cn], bits)
-            wd_ = _dequant_planar(wd_, sd[:, c * cn:(c + 1) * cn],
-                                  zd[:, c * cn:(c + 1) * cn], bits, ged, cn)
-            mlp_acc[:, c * cn:(c + 1) * cn] += jax.lax.dot_general(
-                ap, wd_, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            sl = slice(c * cn, (c + 1) * cn)
+            mlp_acc[:, sl] += _qdot(ap, d_ref[:, sl], sd[:, sl], zd[:, sl],
+                                    bits, ged, cn)
 
         @pl.when(m == ni - 1)
         def _():

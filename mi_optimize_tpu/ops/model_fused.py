@@ -40,15 +40,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .block_fused import (
     CH,
-    _dequant_planar,
     _onehot_rows,
     _planar_mat,
     _perm_row,
+    _qdot,
     _rope_rows,
-    _scale_spec,
     _select_s,
     _select_sz,
-    _unpack_planar,
     block_mega_supported,
     prepare_block,
 )
@@ -163,12 +161,9 @@ def _kernel(
             z = s * (-zc_qkv)
         cn = 1024 if n_qkv % 1024 == 0 else n_qkv
         for c in range(n_qkv // cn):
-            wq = _unpack_planar(qkv_ref[:][0][:, c * cn:(c + 1) * cn], bits)
-            wd = _dequant_planar(wq, s[:, c * cn:(c + 1) * cn],
-                                 z[:, c * cn:(c + 1) * cn], bits, ge, cn)
-            qkv_acc[:, c * cn:(c + 1) * cn] += jax.lax.dot_general(
-                hp, wd, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            sl = slice(c * cn, (c + 1) * cn)
+            qkv_acc[:, sl] += _qdot(hp, qkv_ref[:][0][:, sl],
+                                    s[:, sl], z[:, sl], bits, ge, cn)
 
     # ---------------- phase 2a: rope + int8 KV row + flash init
     @pl.when(jl == nq)
@@ -257,12 +252,9 @@ def _kernel(
             z = s * (-zc_o)
         cn = 1024 if hidden % 1024 == 0 else hidden
         for c in range(hidden // cn):
-            wq = _unpack_planar(o_ref_w[:][0][:, c * cn:(c + 1) * cn], bits)
-            wd = _dequant_planar(wq, s[:, c * cn:(c + 1) * cn],
-                                 z[:, c * cn:(c + 1) * cn], bits, ge, cn)
-            oacc_sc[:, c * cn:(c + 1) * cn] += jax.lax.dot_general(
-                ap, wd, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            sl = slice(c * cn, (c + 1) * cn)
+            oacc_sc[:, sl] += _qdot(ap, o_ref_w[:][0][:, sl],
+                                    s[:, sl], z[:, sl], bits, ge, cn)
 
     # ---------------- phase 4: MLP tiles; last step updates the residual
     @pl.when(jl > nq + nt + no)
@@ -298,16 +290,11 @@ def _kernel(
         for r in range(hidden // CH):
             hp_r = h2_sc[:, r * CH:(r + 1) * CH]
             rs = (r * CH) // g_gu
+            rows = slice(r * chw, (r + 1) * chw)
             sg, bg = gu_sb(slice(rs, rs + ngc))
-            wg = _unpack_planar(g_ref[:][0][r * chw:(r + 1) * chw, :], bits)
-            wg = _dequant_planar(wg, sg, bg, bits, g_eff, ti)
-            gate += jax.lax.dot_general(hp_r, wg, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
+            gate += _qdot(hp_r, g_ref[:][0][rows, :], sg, bg, bits, g_eff, ti)
             su, bu = gu_sb(slice(ngh + rs, ngh + rs + ngc))
-            wu = _unpack_planar(u_ref[:][0][r * chw:(r + 1) * chw, :], bits)
-            wu = _dequant_planar(wu, su, bu, bits, g_eff, ti)
-            up += jax.lax.dot_general(hp_r, wu, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+            up += _qdot(hp_r, u_ref[:][0][rows, :], su, bu, bits, g_eff, ti)
         act = gate * (1.0 / (1.0 + jnp.exp(-gate))) * up
 
         ap = _perm_row(act, vpw)
@@ -318,12 +305,9 @@ def _kernel(
             zd = sd * (-zc_d)
         cn = 1024 if hidden % 1024 == 0 else hidden
         for c in range(hidden // cn):
-            wd_ = _unpack_planar(d_ref[:][0][:, c * cn:(c + 1) * cn], bits)
-            wd_ = _dequant_planar(wd_, sd[:, c * cn:(c + 1) * cn],
-                                  zd[:, c * cn:(c + 1) * cn], bits, ged, cn)
-            mlp_acc[:, c * cn:(c + 1) * cn] += jax.lax.dot_general(
-                ap, wd_, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            sl = slice(c * cn, (c + 1) * cn)
+            mlp_acc[:, sl] += _qdot(ap, d_ref[:][0][:, sl],
+                                    sd[:, sl], zd[:, sl], bits, ged, cn)
 
         @pl.when(m == ni - 1)
         def _():
@@ -623,8 +607,8 @@ def _kernel_b(
     # scratch
     x_sc, qkv_acc, attn_sc, oacc_sc, xmid_sc, h2_sc, mlp_acc,
     q_sc, m_sc, l_sc, fa_sc,
-    # TP ring scratch (dummies when tp == 1)
-    tp_send, tp_comm, tp_send_sem, tp_recv_sem,
+    # TP one-shot-exchange scratch (dummies when tp == 1)
+    tp_recv, tp_send_sem, tp_recv_sem,
     *,
     bsz, bits, hidden, q_dim, kv_dim, inter,
     n_heads, n_kv_heads, head_dim,
@@ -642,41 +626,68 @@ def _kernel_b(
     scale = 1.0 / float(np.sqrt(head_dim))
     ntB = bsz * nt
 
-    def ring_allreduce(value, slot_base):
-        """Blocking ring all-reduce of a [B, hidden] f32 partial across the
-        'model' shards: D-1 pass-and-add exchanges over async remote DMAs.
-        Tiny buffers (B*h*4 bytes) — latency-bound; each exchange hides behind
-        nothing here because the dependent phase starts immediately, but the
-        whole-model launch still amortizes ONE set of semaphores across all
-        2*L reduce points via slot reuse (exchanges are fully blocking)."""
+    # --- overlapped TP all-reduce of the o/down row-parallel partials -------
+    # (round 3, VERDICT item 3). The two reduce points are no longer blocking
+    # ring loops; instead, as each COLUMN CHUNK of the partial sum receives
+    # its final accumulation in the last K-tile step's inner loop, it is sent
+    # DIRECTLY to every peer (one-shot all-to-all: 1 latency hop instead of
+    # tp-1 serialized pass-and-add hops), overlapping each chunk's flight
+    # with the next chunk's dequant-matmul. The consume point waits + adds
+    # the tp-1 received mirrors. The consume CANNOT move any earlier: the
+    # next phase starts with a GLOBAL rmsnorm over the reduced vector, so
+    # only the last chunk's single hop remains exposed.
+    #
+    # Slot-reuse safety across layers (no credits needed): parity 0 (o) and
+    # parity 1 (down) alternate, and a device can only reach its layer-(l+1)
+    # o-sends after consuming every peer's layer-l down chunks, which peers
+    # send only after consuming layer-l o chunks — the alternating dependency
+    # chain orders every overwrite after the matching consume.
+    def _reduce_send(buf_ref, cslice, parity, chunk):
+        """Send buf[:, cslice] (final partial for this column chunk) to all
+        tp-1 peers' tp_recv[parity, slot] mirrors."""
         me = jax.lax.axis_index(tp_axis)
-        right = {tp_axis: jax.lax.rem(me + 1, tp)}
-        for t in range(tp - 1):
-            s = slot_base + t
-            tp_send[s] = value
+        for j in range(tp - 1):
+            pe = jax.lax.rem(me + 1 + j, tp)
+            slot = tp - 2 - j  # (me - pe) mod tp - 1 from the receiver's view
             pltpu.make_async_remote_copy(
-                src_ref=tp_send.at[s], dst_ref=tp_comm.at[s],
-                send_sem=tp_send_sem.at[s], recv_sem=tp_recv_sem.at[s],
-                device_id=right, device_id_type=pltpu.DeviceIdType.MESH,
+                src_ref=buf_ref.at[:, cslice],
+                dst_ref=tp_recv.at[parity, slot, :, cslice],
+                send_sem=tp_send_sem.at[parity, chunk, j],
+                recv_sem=tp_recv_sem.at[parity, chunk, slot],
+                device_id={tp_axis: pe},
+                device_id_type=pltpu.DeviceIdType.MESH,
             ).start()
-            pltpu.make_async_copy(tp_comm.at[s], tp_comm.at[s],
-                                  tp_recv_sem.at[s]).wait()
-            value = value + tp_comm[s]
-            pltpu.make_async_copy(tp_send.at[s], tp_send.at[s],
-                                  tp_send_sem.at[s]).wait()
+
+    def _reduce_consume(buf_ref, parity, ncol, cn):
+        """Wait all chunk recvs (+ own sends, so buf may be reused) and
+        return buf + sum of peer mirrors."""
+        for c in range(ncol):
+            sl = pl.ds(c * cn, cn)
+            for s in range(tp - 1):
+                pltpu.make_async_copy(tp_recv.at[parity, s, :, sl],
+                                      tp_recv.at[parity, s, :, sl],
+                                      tp_recv_sem.at[parity, c, s]).wait()
+            for j in range(tp - 1):
+                pltpu.make_async_copy(buf_ref.at[:, sl], buf_ref.at[:, sl],
+                                      tp_send_sem.at[parity, c, j]).wait()
+        value = buf_ref[:]
+        for s in range(tp - 1):
+            value = value + tp_recv[parity, s]
         return value
 
     @pl.when((l == 0) & (jl == 0))
     def _():
         x_sc[:] = x_ref[:].astype(jnp.float32)
         if tp > 1:
-            # neighbour barrier before any remote DMA can land (pallas guide)
+            # all-peer barrier before any remote DMA can land (pallas guide)
             me = jax.lax.axis_index(tp_axis)
             barrier = pltpu.get_barrier_semaphore()
-            for nb in (jax.lax.rem(me + 1, tp), jax.lax.rem(me - 1 + tp, tp)):
-                pltpu.semaphore_signal(barrier, inc=1, device_id={tp_axis: nb},
-                                       device_id_type=pltpu.DeviceIdType.MESH)
-            pltpu.semaphore_wait(barrier, 2)
+            for j in range(tp - 1):
+                pltpu.semaphore_signal(
+                    barrier, inc=1,
+                    device_id={tp_axis: jax.lax.rem(me + 1 + j, tp)},
+                    device_id_type=pltpu.DeviceIdType.MESH)
+            pltpu.semaphore_wait(barrier, tp - 1)
 
     # ---------------- phase 1: qkv_acc += h_tile @ Wqkv_tile  (B rows)
     @pl.when(jl < nq)
@@ -707,12 +718,9 @@ def _kernel_b(
             z = s * (-zc_qkv)
         cn = 1024 if n_qkv % 1024 == 0 else n_qkv
         for c in range(n_qkv // cn):
-            wq = _unpack_planar(qkv_ref[:][0][:, c * cn:(c + 1) * cn], bits)
-            wd = _dequant_planar(wq, s[:, c * cn:(c + 1) * cn],
-                                 z[:, c * cn:(c + 1) * cn], bits, ge, cn)
-            qkv_acc[:, c * cn:(c + 1) * cn] += jax.lax.dot_general(
-                hp, wd, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            sl = slice(c * cn, (c + 1) * cn)
+            qkv_acc[:, sl] += _qdot(hp, qkv_ref[:][0][:, sl],
+                                    s[:, sl], z[:, sl], bits, ge, cn)
 
     # ---------------- phase 2a: rope + int8 KV rows + flash init (per slot,
     # head-vectorized)
@@ -830,12 +838,15 @@ def _kernel_b(
             z = s * (-zc_o)
         cn = 1024 if hidden % 1024 == 0 else hidden
         for c in range(hidden // cn):
-            wq = _unpack_planar(o_ref_w[:][0][:, c * cn:(c + 1) * cn], bits)
-            wd = _dequant_planar(wq, s[:, c * cn:(c + 1) * cn],
-                                 z[:, c * cn:(c + 1) * cn], bits, ge, cn)
-            oacc_sc[:, c * cn:(c + 1) * cn] += jax.lax.dot_general(
-                ap, wd, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            sl = slice(c * cn, (c + 1) * cn)
+            oacc_sc[:, sl] += _qdot(ap, o_ref_w[:][0][:, sl],
+                                    s[:, sl], z[:, sl], bits, ge, cn)
+            if tp > 1:
+                # chunk is final on the last K-tile: ship it now — its hop
+                # flies while the next chunk's dequant-matmul computes
+                @pl.when(kt == no - 1)
+                def _(c=c, sl=sl):
+                    _reduce_send(oacc_sc, sl, 0, c)
 
     # ---------------- phase 4: MLP tiles (B rows); last step updates residual
     @pl.when(jl > nq + ntB + no)
@@ -846,8 +857,11 @@ def _kernel_b(
         def _():
             oacc = oacc_sc[:]
             if tp > 1:
-                # o-proj is row-parallel (local q heads): sum partials
-                oacc = ring_allreduce(oacc, 0)
+                # o-proj is row-parallel (local q heads): sum partials.
+                # chunks were sent during the o phase; only the last chunk's
+                # hop is still in flight here
+                cno = 1024 if hidden % 1024 == 0 else hidden
+                oacc = _reduce_consume(oacc_sc, 0, hidden // cno, cno)
             xmid = x_sc[:] + oacc
             xmid_sc[:] = xmid
             rstd2 = jax.lax.rsqrt(
@@ -878,16 +892,11 @@ def _kernel_b(
         for r in range(hidden // CH):
             hp_r = h2_sc[:, r * CH:(r + 1) * CH]
             rs = (r * CH) // g_gu
+            rows = slice(r * chw, (r + 1) * chw)
             sg, bg = gu_sb(slice(rs, rs + ngc))
-            wg = _unpack_planar(g_ref[:][0][r * chw:(r + 1) * chw, :], bits)
-            wg = _dequant_planar(wg, sg, bg, bits, g_eff, ti)
-            gate += jax.lax.dot_general(hp_r, wg, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
+            gate += _qdot(hp_r, g_ref[:][0][rows, :], sg, bg, bits, g_eff, ti)
             su, bu = gu_sb(slice(ngh + rs, ngh + rs + ngc))
-            wu = _unpack_planar(u_ref[:][0][r * chw:(r + 1) * chw, :], bits)
-            wu = _dequant_planar(wu, su, bu, bits, g_eff, ti)
-            up += jax.lax.dot_general(hp_r, wu, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+            up += _qdot(hp_r, u_ref[:][0][rows, :], su, bu, bits, g_eff, ti)
         act = gate * (1.0 / (1.0 + jnp.exp(-gate))) * up
 
         ap = _perm_row(act, vpw)
@@ -898,21 +907,22 @@ def _kernel_b(
             zd = sd * (-zc_d)
         cn = 1024 if hidden % 1024 == 0 else hidden
         for c in range(hidden // cn):
-            wd_ = _unpack_planar(d_ref[:][0][:, c * cn:(c + 1) * cn], bits)
-            wd_ = _dequant_planar(wd_, sd[:, c * cn:(c + 1) * cn],
-                                  zd[:, c * cn:(c + 1) * cn], bits, ged, cn)
-            mlp_acc[:, c * cn:(c + 1) * cn] += jax.lax.dot_general(
-                ap, wd_, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            sl = slice(c * cn, (c + 1) * cn)
+            mlp_acc[:, sl] += _qdot(ap, d_ref[:][0][:, sl],
+                                    sd[:, sl], zd[:, sl], bits, ged, cn)
+            if tp > 1:
+                @pl.when(m == ni - 1)
+                def _(c=c, sl=sl):
+                    _reduce_send(mlp_acc, sl, 1, c)
 
         @pl.when(m == ni - 1)
         def _():
             mlp = mlp_acc[:]
             if tp > 1:
-                # down-proj is row-parallel (local intermediate): sum partials;
-                # slot parity alternates with the o-proj reduce (see
-                # ring_allreduce docstring)
-                mlp = ring_allreduce(mlp, tp - 1)
+                # down-proj is row-parallel (local intermediate): sum the
+                # chunk mirrors sent above; parity 1 alternates with the
+                # o reduce (see _reduce_send docstring for reuse safety)
+                mlp = _reduce_consume(mlp_acc, 1, hidden // cn, cn)
             x_new = xmid_sc[:] + mlp
             x_sc[:] = x_new
 
@@ -924,13 +934,24 @@ def _kernel_b(
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "meta", "interpret", "tp", "tp_axis"))
 def model_decode_mega_batch(stack, x, cos, sin, cache, positions, cfg, meta,
-                            interpret=False, tp=1, tp_axis=None):
+                            interpret=False, tp=1, tp_axis=None, table=None):
     """B-slot whole-model decode: x [B,1,H], per-slot positions [B].
 
     cache: HEAD-TRANSPOSED stacked dict {"k": [L,B,Hkv,T,D] int8, "v": ...,
     "k_scale": [L,B,Hkv,T], "v_scale": ...} (see stack_cache_batched).
     Returns (x_out [B,1,H], krows [L,B,Hkv,D], vrows, ksr [L,B,Hkv],
     vsr) — the caller scatters rows at each slot's position.
+
+    table (optional): PAGED mode (round 3, VERDICT item 8) — cache arrays are
+    a shared page POOL {"k": [L, n_pages, Hkv, P, D] int8, ...} and
+    table [B, pps] int32 maps each slot's t-th flash block to its pool page
+    (page size P = the flash block). The table rides scalar prefetch next to
+    positions; the ONLY change vs dense is the KV BlockSpec index maps
+    looking up `table[b, t]` — the kernel body is identical, and the
+    live-prefix clamp keeps unallocated pages from ever being fetched
+    (slots with stale table rows must have position 0 so they read page 0,
+    the pool's scratch page). vLLM-style memory: pool pages scale with
+    actual tokens in flight, not B × max_len.
 
     Head/intermediate dimensions come from the ARRAY shapes, not cfg: under
     tensor parallelism (tp>1, called per-shard inside shard_map — see
@@ -954,10 +975,16 @@ def model_decode_mega_batch(stack, x, cos, sin, cache, positions, cfg, meta,
     tka, to_, ti, _ = _model_tiles(cfg)
     to_ = _pick_tile(q_dim) or q_dim
     nq, no, ni = h // tka, q_dim // to_, inter_p // ti
-    max_len = cache["k"].shape[3]
-    tb = 256 if (max_len % 256 == 0 and max_len >= 1024) else 128
-    assert max_len % tb == 0
-    nt = max_len // tb
+    if table is not None:
+        assert tp == 1, "paged cache does not compose with in-kernel TP yet"
+        tb = cache["k"].shape[3]            # page size == flash block
+        assert tb % 128 == 0
+        nt = table.shape[1]                 # pages per slot (logical capacity)
+    else:
+        max_len = cache["k"].shape[3]
+        tb = 256 if (max_len % 256 == 0 and max_len >= 1024) else 128
+        assert max_len % tb == 0
+        nt = max_len // tb
     ntB = B * nt
     spl = nq + 1 + ntB + no + ni
     grid = (L, spl)
@@ -977,6 +1004,12 @@ def model_decode_mega_batch(stack, x, cos, sin, cache, positions, cfg, meta,
         tp=tp, tp_axis=tp_axis,
     )
 
+    # paged mode adds the page table as a SECOND scalar-prefetch operand, so
+    # every index map gains a trailing arg; A() adapts the dense-signature
+    # maps, and the kv maps get true paged variants below
+    A = ((lambda f: f) if table is None
+         else (lambda f: (lambda l, j, p, t, _f=f: _f(l, j, p))))
+
     t_qkv = lambda l, j, p: jnp.minimum(j, nq - 1)
     t_o = lambda l, j, p: jnp.clip(j - (nq + ntB + 1), 0, no - 1)
     t_mlp = lambda l, j, p: jnp.clip(j - (nq + ntB + no + 1), 0, ni - 1)
@@ -985,70 +1018,79 @@ def model_decode_mega_batch(stack, x, cos, sin, cache, positions, cfg, meta,
         t_all = jnp.clip(j - (nq + 1), 0, ntB - 1)
         return t_all // nt, t_all % nt
 
-    def kv_map(l, j, p):
-        b, t = bt(j)
-        return (l, b, 0, jnp.minimum(t, p[b] // tb), 0)
+    if table is None:
+        def kv_map(l, j, p):
+            b, t = bt(j)
+            return (l, b, 0, jnp.minimum(t, p[b] // tb), 0)
 
-    def kvs_map(l, j, p):
-        b, t = bt(j)
-        return (l, b, 0, jnp.minimum(t, p[b] // tb))
+        def kvs_map(l, j, p):
+            b, t = bt(j)
+            return (l, b, 0, jnp.minimum(t, p[b] // tb))
+    else:
+        def kv_map(l, j, p, tbl):
+            b, t = bt(j)
+            return (l, tbl[b, jnp.minimum(t, p[b] // tb)], 0, 0, 0)
+
+        def kvs_map(l, j, p, tbl):
+            b, t = bt(j)
+            return (l, tbl[b, jnp.minimum(t, p[b] // tb)], 0, 0)
 
     def sspec(arr, tk, g, tile_of, frozen=False):
         n = max(tk // g, 1)
         rows = n if n >= 8 else 8
         if frozen:
             return pl.BlockSpec((1, rows, arr.shape[2]),
-                                lambda l, j, p: (0, 0, 0))
+                                A(lambda l, j, p: (0, 0, 0)))
         if n >= 8:
             return pl.BlockSpec((1, rows, arr.shape[2]),
-                                lambda l, j, p: (l, tile_of(l, j, p), 0))
+                                A(lambda l, j, p: (l, tile_of(l, j, p), 0)))
         return pl.BlockSpec(
             (1, rows, arr.shape[2]),
-            lambda l, j, p: (l, ((tile_of(l, j, p) * tk) // g) // 8, 0))
+            A(lambda l, j, p: (l, ((tile_of(l, j, p) * tk) // g) // 8, 0)))
 
     n_qkv = q_dim + 2 * kv_dim
     D = cfg.head_dim
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=1 if table is None else 2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B, h), lambda l, j, p: (0, 0)),                  # x
-            pl.BlockSpec((1, 1, h), lambda l, j, p: (l, 0, 0)),            # n1
+            pl.BlockSpec((B, h), A(lambda l, j, p: (0, 0))),               # x
+            pl.BlockSpec((1, 1, h), A(lambda l, j, p: (l, 0, 0))),         # n1
             pl.BlockSpec((1, tka // vpw, n_qkv),
-                         lambda l, j, p: (l, t_qkv(l, j, p), 0)),          # qkv
+                         A(lambda l, j, p: (l, t_qkv(l, j, p), 0))),       # qkv
             sspec(stack["qs"], tka, g_qkv, t_qkv),
             sspec(stack["qz"], tka, g_qkv, t_qkv, frozen=zc_qkv is not None),
-            pl.BlockSpec((B, cfg.head_dim), lambda l, j, p: (0, 0)),       # cos
-            pl.BlockSpec((B, cfg.head_dim), lambda l, j, p: (0, 0)),       # sin
+            pl.BlockSpec((B, cfg.head_dim), A(lambda l, j, p: (0, 0))),    # cos
+            pl.BlockSpec((B, cfg.head_dim), A(lambda l, j, p: (0, 0))),    # sin
             pl.BlockSpec((1, 1, Hkv, tb, D), kv_map),                      # ck
             pl.BlockSpec((1, 1, Hkv, tb, D), kv_map),                      # cv
             pl.BlockSpec((1, 1, Hkv, tb), kvs_map),
             pl.BlockSpec((1, 1, Hkv, tb), kvs_map),
             pl.BlockSpec((1, to_ // vpw, h),
-                         lambda l, j, p: (l, t_o(l, j, p), 0)),            # o
+                         A(lambda l, j, p: (l, t_o(l, j, p), 0))),         # o
             sspec(stack["os"], to_, g_o, t_o),
             sspec(stack["oz"], to_, g_o, t_o, frozen=zc_o is not None),
-            pl.BlockSpec((1, 1, h), lambda l, j, p: (l, 0, 0)),            # n2
+            pl.BlockSpec((1, 1, h), A(lambda l, j, p: (l, 0, 0))),         # n2
             pl.BlockSpec((1, h // vpw, ti),
-                         lambda l, j, p: (l, 0, t_mlp(l, j, p))),          # gate
+                         A(lambda l, j, p: (l, 0, t_mlp(l, j, p)))),       # gate
             pl.BlockSpec((1, h // vpw, ti),
-                         lambda l, j, p: (l, 0, ni + t_mlp(l, j, p))),     # up
+                         A(lambda l, j, p: (l, 0, ni + t_mlp(l, j, p)))),  # up
             pl.BlockSpec((1, stack["gus"].shape[1], ti),
-                         lambda l, j, p: (l, 0, t_mlp(l, j, p))),
+                         A(lambda l, j, p: (l, 0, t_mlp(l, j, p)))),
             pl.BlockSpec((1, stack["guz"].shape[1], ti),
-                         (lambda l, j, p: (0, 0, 0)) if zc_gu is not None
-                         else (lambda l, j, p: (l, 0, t_mlp(l, j, p)))),
+                         A((lambda l, j, p: (0, 0, 0)) if zc_gu is not None
+                           else (lambda l, j, p: (l, 0, t_mlp(l, j, p))))),
             pl.BlockSpec((1, ti // vpw, h),
-                         lambda l, j, p: (l, t_mlp(l, j, p), 0)),          # down
+                         A(lambda l, j, p: (l, t_mlp(l, j, p), 0))),       # down
             sspec(stack["ds"], ti, g_d, t_mlp),
             sspec(stack["dz"], ti, g_d, t_mlp, frozen=zc_d is not None),
         ],
         out_specs=[
-            pl.BlockSpec((B, h), lambda l, j, p: (0, 0)),                  # x_out
-            pl.BlockSpec((1, B, Hkv, D), lambda l, j, p: (l, 0, 0, 0)),
-            pl.BlockSpec((1, B, Hkv, D), lambda l, j, p: (l, 0, 0, 0)),
-            pl.BlockSpec((1, B, 1, Hkv), lambda l, j, p: (l, 0, 0, 0)),
-            pl.BlockSpec((1, B, 1, Hkv), lambda l, j, p: (l, 0, 0, 0)),
+            pl.BlockSpec((B, h), A(lambda l, j, p: (0, 0))),               # x_out
+            pl.BlockSpec((1, B, Hkv, D), A(lambda l, j, p: (l, 0, 0, 0))),
+            pl.BlockSpec((1, B, Hkv, D), A(lambda l, j, p: (l, 0, 0, 0))),
+            pl.BlockSpec((1, B, 1, Hkv), A(lambda l, j, p: (l, 0, 0, 0))),
+            pl.BlockSpec((1, B, 1, Hkv), A(lambda l, j, p: (l, 0, 0, 0))),
         ],
         scratch_shapes=[
             pltpu.VMEM((B, h), jnp.float32),              # residual stream
@@ -1062,15 +1104,27 @@ def model_decode_mega_batch(stack, x, cos, sin, cache, positions, cfg, meta,
             pltpu.VMEM((B * n_heads, D), jnp.float32),
             pltpu.VMEM((B * n_heads, D), jnp.float32),
             pltpu.VMEM((B * n_heads, D), jnp.float32),
-            # TP ring buffers + semaphores (tiny dummies when tp == 1)
-            pltpu.VMEM((max(2 * (tp - 1), 1), B, h), jnp.float32),
-            pltpu.VMEM((max(2 * (tp - 1), 1), B, h), jnp.float32),
-            pltpu.SemaphoreType.DMA((max(2 * (tp - 1), 1),)),
-            pltpu.SemaphoreType.DMA((max(2 * (tp - 1), 1),)),
+            # TP one-shot-exchange mirrors + per-(parity, chunk, peer)
+            # semaphores (tiny dummies when tp == 1)
+            pltpu.VMEM((2, max(tp - 1, 1), B, h), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, h // (1024 if h % 1024 == 0 else h),
+                                     max(tp - 1, 1))),
+            pltpu.SemaphoreType.DMA((2, h // (1024 if h % 1024 == 0 else h),
+                                     max(tp - 1, 1))),
         ],
     )
 
     pos_arr = jnp.reshape(positions, (B,)).astype(jnp.int32)
+    if table is None:
+        scalars = (pos_arr,)
+    else:
+        scalars = (pos_arr, table.astype(jnp.int32))
+        kern_body = kern
+
+        def kern(pos_ref, table_ref, *rest):
+            # the table is consumed only by the BlockSpec index maps
+            kern_body(pos_ref, *rest)
+
     x_out, krows, vrows, ksr, vsr = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -1087,7 +1141,7 @@ def model_decode_mega_batch(stack, x, cos, sin, cache, positions, cfg, meta,
             vmem_limit_bytes=64 * 1024 * 1024,
             **({"collective_id": 3} if tp > 1 else {})),
     )(
-        pos_arr,
+        *scalars,
         x_rows, stack["n1"],
         stack["qkv"], stack["qs"], stack["qz"],
         cos.reshape(B, cfg.head_dim), sin.reshape(B, cfg.head_dim),
