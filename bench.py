@@ -141,13 +141,34 @@ def main():
         wbytes += leaf.size * leaf.dtype.itemsize
     bw = 819e9 if on_tpu else 50e9
     sol_tokens_per_s = bw / wbytes
-    print(json.dumps({
+
+    record = {
         "metric": "llama2_7b_int4_decode_tokens_per_s_per_chip" if on_tpu
                   else "tiny_int4_decode_tokens_per_s (cpu fallback)",
         "value": round(toks_per_s, 2),
         "unit": "tokens/s",
         "vs_baseline": round(toks_per_s / sol_tokens_per_s, 4),
-    }))
+    }
+
+    # per-kernel roofline accounting (machine-recorded; VERDICT r2 item 9) —
+    # one extra compile (~60s on the relay); MI_BENCH_KERNELS=0 skips it
+    if st is not None and os.environ.get("MI_BENCH_KERNELS", "1") != "0":
+        from mi_optimize_tpu.eval.latency import kernel_breakdown
+
+        kb = kernel_breakdown(model, tok, pos0, scache, dt / n_decode,
+                              n=n_decode, stack_meta=st)
+        if kb is not None:
+            record["kernels"] = kb
+            from mi_optimize_tpu.utils.observability import RunManifest
+
+            man = RunManifest("bench_decode")
+            man.metric("tokens_per_s_per_chip", record["value"])
+            man.metric("vs_baseline", record["vs_baseline"])
+            man.metric("kernels", kb)
+            man.save(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "BENCH_MANIFEST.json"))
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

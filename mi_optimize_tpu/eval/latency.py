@@ -85,10 +85,110 @@ def decode_throughput(model: Model, batch=1, prompt_len=128, decode_tokens=64,
     dev = jax.devices()[0]
     bw = next((v for k, v in HBM_BYTES_PER_S.items() if k in str(dev)), 819e9)
     sol_step_s = wbytes / bw  # speed of light: one full weight read per token
-    return {
+    out = {
         "tokens_per_s_per_chip": toks_per_s,
         "step_ms": step_s * 1e3,
         "weight_bytes": wbytes,
         "sol_step_ms": sol_step_s * 1e3,
         "roofline_frac": sol_step_s / step_s,
     }
+    if fused and jax.devices()[0].platform != "cpu" and batch == 1 \
+            and cache_dtype == jnp.int8:
+        kb = kernel_breakdown(model, tok, pos0, cache, step_s,
+                              n=decode_tokens)
+        if kb is not None:
+            out["kernels"] = kb
+    return out
+
+
+# measured single-kernel streaming ceiling of this environment's relay-attached
+# v5e (scripts/exp_stream_ceiling.py, round 1); the megakernel's effective
+# rate is reported against BOTH this and the nominal spec
+STREAM_MICROBENCH_BYTES_PER_S = 361e9
+
+
+def kernel_breakdown(model: Model, tok, pos0, cache_list, full_step_s,
+                     n=32, stack_meta=None) -> Optional[Dict]:
+    """Per-kernel roofline accounting for the decode step (machine-recorded;
+    VERDICT r2 item 9). Times the whole-model megakernel ALONE (an n-step
+    scan with the residual fed back; no cache scatter / lm_head) and derives
+    each kernel's bytes/token, GB/s, and %-of-ceiling. Returns None when the
+    megakernel contract does not hold for this model.
+
+    stack_meta: optional pre-built (stack, meta) from stack_serving — pass it
+    when the caller already stacked the weights (the [L, ...] stack is ~the
+    whole model's bytes; building it twice risks HBM exhaustion at 7B)."""
+    from ..models import llama
+    from ..ops.model_fused import model_decode_mega
+    from ..serving.megadecode import stack_cache, stack_serving
+
+    st = stack_meta if stack_meta is not None else stack_serving(model)
+    if st is None:
+        return None
+    stack, meta = st
+    cfg = model.config
+    scache = stack_cache(cache_list) if isinstance(cache_list, list) else cache_list
+    params = model.params
+
+    @jax.jit
+    def mega_only(params, stack, cache, tok, pos0):
+        x0 = llama.embed(params, tok)
+
+        def step(carry, _):
+            x, pos = carry
+            cos, sin = llama.rope_tables(cfg, pos[None])
+            x2, *_ = model_decode_mega(
+                stack, x, cos.reshape(-1)[-cfg.head_dim:],
+                sin.reshape(-1)[-cfg.head_dim:], cache, pos, cfg, meta)
+            return (x2, pos + 1), x2[0, 0, 0]
+
+        (_, _), xs = jax.lax.scan(step, (x0, pos0), None, length=n)
+        return xs
+
+    xs = mega_only(params, stack, scache, tok, pos0)
+    _ = float(np.asarray(xs[-1]))
+    t0 = time.perf_counter()
+    xs = mega_only(params, stack, scache, tok, pos0)
+    _ = float(np.asarray(xs[-1]))
+    mega_s = (time.perf_counter() - t0) / n
+
+    stack_bytes = sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(stack))
+    # live KV blocks actually fetched at mid-decode position (the kernel's
+    # prefix clamp skips dead blocks)
+    pos_mid = int(pos0) + n // 2
+    tb = 256 if (scache["k"].shape[1] % 256 == 0
+                 and scache["k"].shape[1] >= 1024) else 128
+    blocks = -(-pos_mid // tb)
+    kv_row = cfg.num_kv_heads * (cfg.head_dim * 2 + 8)  # k+v int8, 2 f32 scales
+    kv_bytes = cfg.num_layers * blocks * tb * kv_row
+    mega_bytes = stack_bytes + kv_bytes
+
+    lm = model.params.get("lm_head")
+    lm_bytes = (sum(l.size * l.dtype.itemsize
+                    for l in jax.tree.leaves((lm.packed, lm.w_scale, lm.w_zero)))
+                if lm is not None and hasattr(lm, "packed") else 0)
+
+    dev = jax.devices()[0]
+    bw = next((v for k, v in HBM_BYTES_PER_S.items() if k in str(dev)), 819e9)
+    glue_s = max(full_step_s - mega_s, 0.0)
+    gbps = mega_bytes / mega_s / 1e9
+    out = {
+        "nominal_hbm_gbps": bw / 1e9,
+        "stream_microbench_gbps": STREAM_MICROBENCH_BYTES_PER_S / 1e9,
+        "megakernel": {
+            "ms_per_token": round(mega_s * 1e3, 3),
+            "bytes_per_token": mega_bytes,
+            "gbps": round(gbps, 1),
+            "pct_of_nominal_hbm": round(100 * gbps * 1e9 / bw, 1),
+            "pct_of_stream_microbench": round(
+                100 * gbps * 1e9 / STREAM_MICROBENCH_BYTES_PER_S, 1),
+            "pct_of_step": round(100 * mega_s / full_step_s, 1),
+        },
+        "lm_head_scatter_glue": {
+            "ms_per_token": round(glue_s * 1e3, 3),
+            "bytes_per_token": lm_bytes,
+            "gbps_if_io_bound": round(lm_bytes / glue_s / 1e9, 1)
+            if glue_s > 0 else None,
+        },
+    }
+    return out
