@@ -232,6 +232,181 @@ class ContinuousBatcher:
         return results
 
 
+@partial(jax.jit, static_argnames=("cfg", "meta", "k", "interpret"))
+def draft_propose_batch(params, stack, meta, cfg, tokens, cache, positions, k,
+                        interpret=False):
+    """B-slot draft proposal on the BATCHED whole-model megakernel: k greedy
+    steps for every slot (one weight stream per step for the whole batch),
+    plus the unconditional ingest of each slot's k-th proposal (rollback-safe:
+    rows past the verified prefix are positionally masked and overwritten).
+    Returns (proposals [B, k], cache)."""
+    from .megadecode import model_step_batch
+
+    def step(carry, _):
+        tok, c, p = carry
+        logits, c = model_step_batch(params, stack, meta, cfg, tok, c, p,
+                                     interpret)
+        nt = jnp.argmax(logits, -1).astype(tok.dtype)[:, None]
+        return (nt, c, p + 1), nt[:, 0]
+
+    (lastk, cache, _), props = jax.lax.scan(
+        step, (tokens, cache, positions), None, length=k)
+    _, cache = model_step_batch(params, stack, meta, cfg, lastk, cache,
+                                positions + k, interpret)
+    return jnp.swapaxes(props, 0, 1), cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "k", "fused"))
+def _draft_propose_multi(params, cfg, tokens, cache, positions, k, fused=True):
+    """Per-layer fallback of draft_propose_batch (same contract)."""
+    def step(carry, _):
+        tok, c, p = carry
+        logits, c = decode_step_multi(params, cfg, tok, c, p, fused)
+        nt = jnp.argmax(logits, -1).astype(tok.dtype)[:, None]
+        return (nt, c, p + 1), nt[:, 0]
+
+    (lastk, cache, _), props = jax.lax.scan(
+        step, (tokens, cache, positions), None, length=k)
+    _, cache = decode_step_multi(params, cfg, lastk, cache, positions + k,
+                                 fused)
+    return jnp.swapaxes(props, 0, 1), cache
+
+
+class SpeculativeBatcher(ContinuousBatcher):
+    """Continuous batching composed with speculative decoding (round 3,
+    VERDICT item 4): every scheduler step drafts k tokens PER SLOT (batched
+    megakernel on the draft when its contract holds), then verifies all
+    slots' k+1-token chunks in ONE target forward
+    (engine.prefill_chunk_batched, per-slot positions) — each slot advances
+    1..k+1 tokens per step. Greedy spec-dec is exact, so emitted sequences
+    equal the plain batcher's (tests/test_spec_batched.py).
+
+    The TARGET cache stays in the per-layer layout (its forwards are chunk
+    verifies, which take the prefill path); the DRAFT cache uses the batched
+    stacked megakernel layout when available."""
+
+    def __init__(self, model: Model, draft: Model, k: int = 4,
+                 n_slots: int = 4, max_len: int = 512, fused: bool = True,
+                 cache_dtype=jnp.float32,
+                 use_draft_megakernel: Optional[bool] = None):
+        super().__init__(model, n_slots, max_len, fused, cache_dtype,
+                         use_megakernel=False)
+        self.draft = draft
+        self.k = k
+        self._dmega = None
+        if use_draft_megakernel is None:
+            use_draft_megakernel = fused and jax.default_backend() == "tpu"
+        if use_draft_megakernel and self.max_len % 128 == 0:
+            from .megadecode import stack_cache_batched, stack_serving
+
+            st = stack_serving(draft)
+            if st is not None:
+                self._dmega = st
+                self.dcache = stack_cache_batched(
+                    init_cache(draft.config, n_slots, self.max_len, jnp.int8))
+        if self._dmega is None:
+            self.dcache = init_cache(draft.config, n_slots, self.max_len,
+                                     cache_dtype)
+        # per-round accounting (accept-rate telemetry)
+        self.rounds = 0
+        self.proposed = 0
+        self.accepted = 0
+
+    def add_request(self, prompt, max_new_tokens=32, eos_token_id=None):
+        try:
+            slot = self.slot_req.index(None)
+        except ValueError:
+            return None
+        rid = super().add_request(prompt, max_new_tokens, eos_token_id)
+        if rid is None:
+            return None
+        ids = jnp.asarray(self.slot_req[slot].prompt[None, :])
+        if self._dmega is not None:
+            _, self.dcache = _prefill_into_slot_mega(
+                self.draft.params, self.draft.config, ids, self.dcache, slot,
+                self.max_len)
+        else:
+            _, self.dcache = _prefill_into_slot(
+                self.draft.params, self.draft.config, ids, self.dcache, slot,
+                self.fused)
+        return rid
+
+    def step(self) -> Dict[int, List[int]]:
+        """One spec round for all active slots; returns {rid: [new tokens]}."""
+        active = [i for i, r in enumerate(self.slot_req) if r is not None]
+        if not active:
+            return {}
+        interp = jax.default_backend() != "tpu"
+        toks = jnp.asarray(self.last_token[:, None])
+        # inactive slots still ride the batched programs with their stale
+        # positions; clamp so their draft-overshoot writes (pos..pos+2k) stay
+        # in range — active slots are retired with this headroom (see `done`)
+        # so the clamp never moves a live slot
+        pos = jnp.asarray(np.minimum(self.positions,
+                                     self.max_len - 2 * self.k - 2))
+        if self._dmega is not None:
+            dstack, dmeta = self._dmega
+            props, self.dcache = draft_propose_batch(
+                self.draft.params, dstack, dmeta, self.draft.config, toks,
+                self.dcache, pos, self.k, interpret=interp)
+        else:
+            props, self.dcache = _draft_propose_multi(
+                self.draft.params, self.draft.config, toks, self.dcache, pos,
+                self.k, self.fused)
+        chunk = jnp.concatenate([toks, props], axis=1)       # [B, k+1]
+        from .engine import prefill_chunk_batched
+
+        vlogits, self.cache = prefill_chunk_batched(
+            self.model.params, self.cfg, chunk, self.cache, pos, self.fused)
+        ver = np.argmax(np.asarray(vlogits), axis=-1)        # [B, k+1]
+        props_np = np.asarray(props)
+        self.rounds += 1
+        out: Dict[int, List[int]] = {}
+        for i in active:
+            req = self.slot_req[i]
+            match = ver[i, :self.k] == props_np[i]
+            n_acc = self.k if match.all() else int(np.argmin(match))
+            bonus = int(ver[i, n_acc])
+            emit = [int(t) for t in props_np[i][:n_acc]] + [bonus]
+            self.proposed += self.k
+            self.accepted += n_acc
+            # budget / eos trimming applies to what the request KEEPS; the
+            # cache/pos bookkeeping always advances by the verified n_acc+1
+            budget = req.max_new_tokens - len(req.tokens)
+            kept = emit[:budget]
+            if req.eos_token_id is not None and req.eos_token_id in kept:
+                kept = kept[:kept.index(req.eos_token_id) + 1]
+            req.tokens.extend(kept)
+            out[req.rid] = kept
+            self.positions[i] += n_acc + 1
+            self.last_token[i] = bonus
+            done = (len(kept) < len(emit)
+                    or len(req.tokens) >= req.max_new_tokens
+                    # headroom: a round writes up to pos + 2k rows (draft
+                    # ingest overshoot) — retire the slot before overflow
+                    or self.positions[i] >= self.max_len - 2 * self.k - 2)
+            if done:
+                req.done = True
+                self.slot_req[i] = None
+        return out
+
+    def run_all(self, prompts, max_new_tokens=16) -> Dict[int, List[int]]:
+        pending = list(prompts)
+        results: Dict[int, List[int]] = {}
+        reqs: List[Request] = []
+        while pending or any(r is not None for r in self.slot_req):
+            while pending:
+                rid = self.add_request(pending[0], max_new_tokens)
+                if rid is None:
+                    break
+                reqs.append([r for r in self.slot_req if r and r.rid == rid][0])
+                pending.pop(0)
+            self.step()
+        for r in reqs:
+            results[r.rid] = r.tokens
+        return results
+
+
 def shard_batcher(batcher: "ContinuousBatcher", mesh) -> "ContinuousBatcher":
     """Distribute a ContinuousBatcher over a mesh: slots shard across 'data'
     (each host/data-shard owns n_slots/|data| sequences), model params follow

@@ -93,6 +93,32 @@ def prefill_chunk(params, cfg, input_ids, cache, pos0, fused=True):
     return llama.unembed(params, cfg, x, fused=fused), new_cache
 
 
+@partial(jax.jit, static_argnames=("cfg", "fused"))
+def prefill_chunk_batched(params, cfg, input_ids, cache, positions, fused=True):
+    """B-slot chunk ingest/verify: input_ids [B, C] with PER-SLOT absolute
+    start positions [B] — slot b's chunk covers positions[b]..positions[b]+C-1
+    against its own cached prefix. Returns (logits [B, C, V], cache).
+
+    The batched verify primitive for speculative decoding under continuous
+    batching (round 3, VERDICT item 4): one weight stream scores B chunks.
+    Token-exact vs per-slot `prefill_chunk` (tests/test_spec_batched.py)."""
+    B, C = input_ids.shape
+    max_len = _cache_len(cache)
+    x = llama.embed(params, input_ids)
+    posm = positions[:, None] + jnp.arange(C)[None, :]           # [B, C]
+    cos, sin = llama.rope_tables(cfg, posm)                       # [B, C, rd]
+    mask = (jnp.arange(max_len)[None, None, None, :]
+            <= posm[:, None, :, None])                            # [B,1,C,T]
+    new_cache = []
+    for blk, kv in zip(params["layers"], cache):
+        x, kv, _ = llama.block_apply(
+            blk, x, cos, sin, mask, cfg, kv_cache=kv, cache_index=positions,
+            fused=fused)
+        new_cache.append(kv)
+    x = llama.rms_norm(x, params["final_norm"], cfg.rms_eps)
+    return llama.unembed(params, cfg, x, fused=fused), new_cache
+
+
 def _decode_core(params, cfg, token, cache, pos, fused=True):
     """One autoregressive step. token [B,1], pos scalar; returns (logits, cache)."""
     max_len = _cache_len(cache)

@@ -87,6 +87,62 @@ def _spec_loop(tparams, dparams, tcfg, dcfg, tcache, dcache, last_tok, pos0,
     return out[:n], rounds, acc, prop
 
 
+@partial(jax.jit, static_argnames=("tcfg", "dcfg", "dmeta", "k", "n", "fused",
+                                   "interpret"))
+def _spec_loop_mega(tparams, dparams, dstack, dmeta, tcfg, dcfg, tcache, dcache,
+                    last_tok, pos0, k, n, fused=True, interpret=False):
+    """`_spec_loop` with the draft running on the whole-model decode
+    megakernel (round 3, VERDICT item 4): each draft step is ONE pallas
+    launch (serving/megadecode._model_step) instead of the per-layer path —
+    6.4 vs 15.6 ms/step on 7B int4, moving the round's draft cost by ~2.4x.
+
+    dcache: STACKED megakernel cache ({"k": [L,T,Hkv,D] int8, ...}); the
+    target side (chunk verify) is unchanged.
+    """
+    from .megadecode import _model_step
+
+    BUF = n + k + 1
+
+    def cond(st):
+        return st[1] < n
+
+    def body(st):
+        out, n_out, pos, last, tc, dc, rounds, acc, prop = st
+
+        def dstep(carry, _):
+            tok, c, p = carry
+            logits, c = _model_step(dparams, dstack, dmeta, dcfg, tok, c, p,
+                                    interpret)
+            nt = jnp.argmax(logits, -1).astype(tok.dtype)[:, None]
+            return (nt, c, p + 1), nt[0, 0]
+
+        (lastk, dc, _), props = jax.lax.scan(
+            dstep, (last[None, None], dc, pos), None, length=k)
+        # unconditional ingest of p_{k-1} (rollback safety: see _spec_loop)
+        _, dc = _model_step(dparams, dstack, dmeta, dcfg, lastk, dc, pos + k,
+                            interpret)
+        chunk = jnp.concatenate([last[None], props])[None]  # [1, k+1]
+        vlogits, tc = prefill_chunk(tparams, tcfg, chunk, tc, pos, fused)
+        ver = jnp.argmax(vlogits[0], -1).astype(props.dtype)
+        match = ver[:k] == props
+        n_accept = jnp.where(match.all(), k,
+                             jnp.argmin(match.astype(jnp.int32)))
+        bonus = ver[n_accept]
+        lane = jnp.arange(k + 1)
+        emit = jnp.where(lane < n_accept, jnp.append(props, 0),
+                         jnp.where(lane == n_accept, bonus, 0)).astype(out.dtype)
+        out = jax.lax.dynamic_update_slice(out, emit, (n_out,))
+        return (out, n_out + n_accept + 1, pos + n_accept + 1, bonus,
+                tc, dc, rounds + 1, acc + n_accept, prop + k)
+
+    out0 = jnp.zeros((BUF,), jnp.int32)
+    st = (out0, jnp.asarray(0), jnp.asarray(pos0), last_tok.astype(jnp.int32),
+          tcache, dcache, jnp.asarray(0), jnp.asarray(0), jnp.asarray(0))
+    out, n_out, pos, last, tc, dc, rounds, acc, prop = jax.lax.while_loop(
+        cond, body, st)
+    return out[:n], rounds, acc, prop
+
+
 def speculative_generate(
     target: Model,
     draft: Model,
@@ -97,6 +153,7 @@ def speculative_generate(
     max_len: Optional[int] = None,
     cache_dtype=jnp.float32,
     on_device: bool = True,
+    draft_megakernel: Optional[bool] = None,
 ) -> Tuple[np.ndarray, dict]:
     """Greedy speculative decode; returns (tokens [1, S+new], stats).
 
@@ -104,6 +161,8 @@ def speculative_generate(
     the number of target forwards shrinks toward new_tokens/(k+1).
     `on_device=True` (default) runs the whole loop as one dispatch
     (_spec_loop); on_device=False keeps the host loop (reference/debugging).
+    draft_megakernel (None = auto on TPU): run the draft on the whole-model
+    decode megakernel (_spec_loop_mega) when its contract holds.
     """
     cfg = target.config
     seq = list(np.asarray(prompt).reshape(-1))
@@ -114,11 +173,42 @@ def speculative_generate(
     t_calls = d_calls = 0
     proposed_total = accepted_total = 0
 
+    dm = None
+    if on_device and draft_megakernel is not False:
+        if draft_megakernel or (fused and jax.default_backend() == "tpu"):
+            from .megadecode import stack_serving
+
+            dm = stack_serving(draft)
+    if dm is not None:
+        total = -(-total // 128) * 128  # megakernel flash phase block size
+
     ids = jnp.asarray(np.asarray(prompt).reshape(1, -1))
     tcache = init_cache(cfg, 1, total, cache_dtype)
-    dcache = init_cache(draft.config, 1, total, cache_dtype)
+    dcache = init_cache(draft.config, 1, total,
+                        jnp.int8 if dm is not None else cache_dtype)
     tlogits, tcache = prefill(target.params, cfg, ids, tcache, fused)
     _, dcache = prefill(draft.params, draft.config, ids, dcache, fused)
+
+    if on_device and dm is not None:
+        from .megadecode import stack_cache
+
+        dstack, dmeta = dm
+        first = jnp.argmax(tlogits, -1)[0]
+        rest, rounds, acc, prop = _spec_loop_mega(
+            target.params, draft.params, dstack, dmeta, cfg, draft.config,
+            tcache, stack_cache(dcache), first, n_prompt, k,
+            max_new_tokens - 1, fused,
+            interpret=jax.default_backend() != "tpu")
+        out = np.concatenate([[int(first)], np.asarray(rest)])
+        seq = seq + list(out[:max_new_tokens])
+        rounds = int(rounds)
+        stats = {
+            "target_calls": rounds,
+            "draft_calls": rounds * (k + 1),
+            "accept_rate": int(acc) / max(int(prop), 1),
+            "draft_megakernel": True,
+        }
+        return np.asarray(seq)[None, :], stats
 
     if on_device:
         first = jnp.argmax(tlogits, -1)[0]
