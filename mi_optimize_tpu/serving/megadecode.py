@@ -186,6 +186,96 @@ def _scatter_rows_batched(cache, krows, vrows, ksr, vsr, positions):
     }
 
 
+def init_pool_batched(cfg, n_pages: int, page_size: int):
+    """Shared KV page POOL for the paged batched megakernel: one pool of
+    `n_pages` pages of `page_size` tokens each, shared by every layer of
+    every slot via a per-slot page table (ops/model_fused.py paged mode).
+    Page 0 is the scratch page: never allocated, absorbs dead slots' reads
+    and writes. Layout mirrors stack_cache_batched with the page axis
+    replacing the (slot, block) axes."""
+    Hkv, D = cfg.num_kv_heads, cfg.head_dim
+    return {
+        "k": jnp.zeros((cfg.num_layers, n_pages, Hkv, page_size, D), jnp.int8),
+        "v": jnp.zeros((cfg.num_layers, n_pages, Hkv, page_size, D), jnp.int8),
+        "k_scale": jnp.ones((cfg.num_layers, n_pages, Hkv, page_size),
+                            jnp.float32),
+        "v_scale": jnp.ones((cfg.num_layers, n_pages, Hkv, page_size),
+                            jnp.float32),
+    }
+
+
+def _scatter_rows_paged(pool, krows, vrows, ksr, vsr, table, positions):
+    """Write each slot's new KV row into its (page, offset): page =
+    table[b, pos // P], offset = pos % P. Rows of slots whose table entry is
+    0 land in the scratch page (retired slots)."""
+    P = pool["k"].shape[3]
+    L, B = krows.shape[:2]
+    li = jnp.arange(L)[:, None]                                   # [L, 1]
+    pg = table[jnp.arange(B), positions // P][None, :]            # [1, B]
+    off = (positions % P)[None, :]
+    li, pg, off = jnp.broadcast_arrays(li, pg, off)               # [L, B]
+    return {
+        "k": pool["k"].at[li, pg, :, off].set(krows.astype(pool["k"].dtype)),
+        "v": pool["v"].at[li, pg, :, off].set(vrows.astype(pool["v"].dtype)),
+        "k_scale": pool["k_scale"].at[li, pg, :, off].set(ksr),
+        "v_scale": pool["v_scale"].at[li, pg, :, off].set(vsr),
+    }
+
+
+@partial(jax.jit, static_argnames=("cfg", "meta", "interpret"))
+def model_step_batch_paged(params, stack, meta, cfg, tokens, pool, table,
+                           positions, interpret=False):
+    """model_step_batch over a shared KV page pool (round 3, VERDICT item 8):
+    tokens [B,1], table [B, pps], positions [B] -> (logits [B,V], pool).
+    Same one-launch weight stream; attention blocks fetch through the page
+    table and the new rows scatter into (page, offset)."""
+    from ..ops.model_fused import model_decode_mega_batch
+
+    B = tokens.shape[0]
+    x = llama.embed(params, tokens)
+    cos, sin = llama.rope_tables(cfg, positions[:, None])
+    x, krows, vrows, ksr, vsr = model_decode_mega_batch(
+        stack, x, cos.reshape(B, -1)[:, -cfg.head_dim:],
+        sin.reshape(B, -1)[:, -cfg.head_dim:],
+        pool, positions, cfg, meta, interpret=interpret, table=table)
+    krows, vrows, ksr, vsr = jax.lax.optimization_barrier(
+        (krows, vrows, ksr, vsr))
+    pool = _scatter_rows_paged(pool, krows, vrows, ksr, vsr, table, positions)
+    h = llama.rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = llama.unembed(params, cfg, h, fused=not interpret)[:, 0]
+    return logits, pool
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def scatter_prefill_pages(pool, kvs, pages, valid, cfg):
+    """Scatter one prefilled request's per-layer int8 KV slabs into its
+    allocated pages. kvs: engine.init_cache/prefill output (batch-1, int8,
+    T padded to a page multiple); pages [npg] int32 pool pages; valid [npg]
+    bool (guards partially-filled allocations: invalid entries redirect to
+    the scratch page 0). Returns the updated pool."""
+    P = pool["k"].shape[3]
+    k = jnp.stack([c["k"][0] for c in kvs]).swapaxes(1, 2)        # [L,Hkv,T,D]
+    v = jnp.stack([c["v"][0] for c in kvs]).swapaxes(1, 2)
+    ks = jnp.stack([c["k_scale"][0] for c in kvs]).swapaxes(1, 2)  # [L,Hkv,T]
+    vs = jnp.stack([c["v_scale"][0] for c in kvs]).swapaxes(1, 2)
+    L, Hkv, T, D = k.shape
+    npg = T // P
+    pg = jnp.where(valid, pages, 0)
+    li = jnp.arange(L)[:, None]
+    pgb = jnp.broadcast_to(pg[None, :], (L, npg))
+    lib = jnp.broadcast_to(li, (L, npg))
+
+    def rs(a):  # [L,Hkv,T,...] -> [L,npg,Hkv,P,...]
+        return a.reshape((L, Hkv, npg, P) + a.shape[3:]).swapaxes(1, 2)
+
+    return {
+        "k": pool["k"].at[lib, pgb].set(rs(k).astype(pool["k"].dtype)),
+        "v": pool["v"].at[lib, pgb].set(rs(v).astype(pool["v"].dtype)),
+        "k_scale": pool["k_scale"].at[lib, pgb].set(rs(ks)),
+        "v_scale": pool["v_scale"].at[lib, pgb].set(rs(vs)),
+    }
+
+
 @partial(jax.jit, static_argnames=("cfg", "meta", "interpret"))
 def model_step_batch(params, stack, meta, cfg, tokens, cache, positions,
                      interpret=False):

@@ -127,6 +127,160 @@ def paged_decode_step(params, cfg, tokens, layers, table, positions,
     return logits, new_layers
 
 
+class PagedMegaBatcher:
+    """Continuous batching over a shared KV page POOL with the batched
+    whole-model decode megakernel (round 3, VERDICT item 8): page-pool memory
+    management (memory scales with tokens in flight, pages recycle across
+    requests) composed with the one-launch-per-step batched fast path. The
+    kernel reads KV blocks THROUGH the page table (scalar prefetch) — no
+    logical-view gather — so the step's HBM traffic equals the dense batched
+    megakernel's.
+
+    Page size = the kernel's flash block (128/256 tokens). Page 0 is scratch:
+    retired slots point at it and their writes land there. Allocation is
+    host-side (free list); a slot allocates lazily as its position crosses a
+    page boundary. `n_pages` sizes the pool — it may be far below
+    n_slots * max_len/P; `add_request` returns None when the pool can't cover
+    the prompt, and `step` raises if lazy growth finds the pool exhausted
+    (admission control should leave 1 page/slot headroom).
+    """
+
+    def __init__(self, model: Model, n_slots: int = 4, max_len: int = 512,
+                 page_size: int = 128, n_pages: Optional[int] = None):
+        from .megadecode import init_pool_batched, stack_serving
+
+        assert max_len % page_size == 0 and page_size % 128 == 0
+        st = stack_serving(model)
+        if st is None:
+            raise ValueError("model does not satisfy the megakernel contract")
+        self.model = model
+        self.cfg = model.config
+        self._mega = st
+        self.page_size = page_size
+        self.max_len = min(max_len, self.cfg.max_seq_len)
+        self.pps = self.max_len // page_size
+        if n_pages is None:
+            n_pages = 1 + n_slots * self.pps
+        self.n_slots = n_slots
+        self.pool = init_pool_batched(self.cfg, n_pages, page_size)
+        self.table = np.zeros((n_slots, self.pps), np.int32)
+        self.free_pages = list(range(1, n_pages))
+        self.positions = np.zeros(n_slots, np.int64)
+        self.last_token = np.zeros(n_slots, np.int64)
+        self.slot_req: List[Optional["Request"]] = [None] * n_slots
+        self._next_rid = 0
+
+    def _alloc(self, n):
+        if len(self.free_pages) < n:
+            return None
+        out = self.free_pages[:n]
+        del self.free_pages[:n]
+        return out
+
+    def _retire(self, slot):
+        self.free_pages.extend(int(p) for p in self.table[slot] if p != 0)
+        self.table[slot] = 0
+        self.positions[slot] = 0   # dead slot reads/writes only scratch page 0
+        self.last_token[slot] = 0
+        self.slot_req[slot] = None
+
+    def add_request(self, prompt, max_new_tokens=32,
+                    eos_token_id=None) -> Optional[int]:
+        from .batching import Request
+        from .engine import init_cache, prefill
+        from .megadecode import scatter_prefill_pages
+
+        try:
+            slot = self.slot_req.index(None)
+        except ValueError:
+            return None
+        prompt = np.asarray(prompt).reshape(-1)[
+            -(self.max_len - max_new_tokens - 1):]
+        S = len(prompt)
+        P = self.page_size
+        npg = S // P + 1               # covers positions 0..S (first decode row)
+        pages = self._alloc(npg)
+        if pages is None:
+            return None
+        self.table[slot, :npg] = pages
+
+        # batch-1 prefill at full logical capacity (ONE compile for all
+        # prompt lengths), then whole-page scatter of the first ceil(S/P)
+        # pages; the valid mask redirects the rest to scratch page 0
+        one = init_cache(self.cfg, 1, self.max_len, jnp.int8)
+        logits, one = prefill(self.model.params, self.cfg,
+                              jnp.asarray(prompt[None, :]), one, True)
+        n_slab = -(-S // P)
+        self.pool = scatter_prefill_pages(
+            self.pool, one, jnp.asarray(self.table[slot]),
+            jnp.arange(self.pps) < n_slab, self.cfg)
+
+        req = Request(self._next_rid, prompt, max_new_tokens, eos_token_id)
+        self._next_rid += 1
+        tok = int(np.argmax(np.asarray(logits[0])))
+        req.tokens.append(tok)
+        self.positions[slot] = S
+        self.last_token[slot] = tok
+        self.slot_req[slot] = req
+        return req.rid
+
+    def step(self) -> Dict[int, int]:
+        from .megadecode import model_step_batch_paged
+
+        active = [i for i, r in enumerate(self.slot_req) if r is not None]
+        if not active:
+            return {}
+        P = self.page_size
+        for i in active:  # lazy page growth at boundary crossings
+            j = int(self.positions[i]) // P
+            if self.table[i, j] == 0:
+                pg = self._alloc(1)
+                if pg is None:
+                    raise RuntimeError("KV page pool exhausted")
+                self.table[i, j] = pg[0]
+        stack, meta = self._mega
+        logits, self.pool = model_step_batch_paged(
+            self.model.params, stack, meta, self.cfg,
+            jnp.asarray(self.last_token[:, None]), self.pool,
+            jnp.asarray(self.table), jnp.asarray(self.positions),
+            interpret=jax.default_backend() != "tpu")
+        toks = np.argmax(np.asarray(logits), axis=-1)
+        out = {}
+        for i in active:
+            req = self.slot_req[i]
+            tok = int(toks[i])
+            req.tokens.append(tok)
+            out[req.rid] = tok
+            self.positions[i] += 1
+            self.last_token[i] = tok
+            hit_eos = req.eos_token_id is not None and tok == req.eos_token_id
+            if len(req.tokens) >= req.max_new_tokens or hit_eos \
+                    or self.positions[i] >= self.max_len - 1:
+                req.done = True
+                self._retire(i)
+        return out
+
+    def run_all(self, prompts, max_new_tokens=16) -> Dict[int, List[int]]:
+        pending = list(prompts)
+        results: Dict[int, List[int]] = {}
+        reqs = []
+        while pending or any(r is not None for r in self.slot_req):
+            while pending:
+                rid = self.add_request(pending[0], max_new_tokens)
+                if rid is None:
+                    break
+                reqs.append([r for r in self.slot_req if r and r.rid == rid][0])
+                pending.pop(0)
+            if not any(r is not None for r in self.slot_req):
+                if pending:  # nothing running and nothing admittable
+                    raise RuntimeError("page pool too small for request")
+                break
+            self.step()
+        for r in reqs:
+            results[r.rid] = r.tokens
+        return results
+
+
 @dataclass
 class PagedRequest:
     rid: int
