@@ -216,5 +216,13 @@ def test_global_mesh_and_batch_slice():
 
     mesh = launch.global_mesh(n_model=2)
     assert mesh.shape["model"] == 2 and mesh.shape["data"] == 4
-    launch.initialize_multihost()  # single-process no-op
+    # pin the single-process no-op contract (VERDICT r2 weak #7): the no-arg
+    # call relies on jax.distributed.initialize() raising outside a managed
+    # multi-host environment — it must neither propagate that exception nor
+    # disturb the runtime's process/device view
+    n_dev = len(jax.devices())
+    launch.initialize_multihost()
+    launch.initialize_multihost()  # idempotent
+    assert jax.process_count() == 1
+    assert len(jax.devices()) == n_dev
     assert launch.per_host_batch_slice(16) == slice(0, 16)
