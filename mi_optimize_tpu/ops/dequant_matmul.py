@@ -91,7 +91,7 @@ def _planar_perm_x(x: jnp.ndarray, tk: int, vpw: int) -> jnp.ndarray:
 
 
 def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, ng_tile, tk, nk,
-            planar):
+            planar, grouped):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -106,28 +106,40 @@ def _kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, ng_tile, tk, nk
     b = z_ref[0:ng_tile, :]
     vpw = 32 // bits
     group = tk // ng_tile
-    if planar:
-        wq = _unpack_words_planar(w_ref[:], bits)  # [TK, TN] plane-major
-        tn = wq.shape[1]
-        # planar row i*TKW+w is orig k = w*vpw+i -> group w // (group/vpw),
-        # independent of the plane i (planar requires group % vpw == 0)
-        wv = wq.reshape(vpw, ng_tile, group // vpw, tn)
-        wd = (wv * s[None, :, None, :] + b[None, :, None, :]).reshape(tk, tn)
-    else:
-        wq = _unpack_words(w_ref[:], bits).astype(jnp.float32)  # [TK, TN]
-        tn = wq.shape[1]
-        if ng_tile == 1:
-            wd = wq * s + b
-        else:
-            wd = (wq.reshape(ng_tile, group, tn) * s[:, None, :]
-                  + b[:, None, :]).reshape(tk, tn)
+    if grouped:
+        # grouped-rescale formulation (round 3, same as the megakernel's
+        # block_fused._qdot): MXU dot on CENTERED raw codes + per-group
+        # rescale on [ng, TN] — no per-value FMA. Only selected for small M
+        # (decode): the masked activation costs M*ng MXU rows, a pure win
+        # when the kernel is VPU-dequant-bound but a loss for MXU-bound
+        # prefill tiles.
+        from .block_fused import _qdot
 
-    x = x_ref[:]
-    acc_ref[:] += jax.lax.dot_general(
-        x, wd.astype(x.dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        acc_ref[:] += _qdot(x_ref[:], w_ref[:], s, b, bits, group,
+                            w_ref.shape[1])
+    else:
+        if planar:
+            wq = _unpack_words_planar(w_ref[:], bits)  # [TK, TN] plane-major
+            tn = wq.shape[1]
+            # planar row i*TKW+w is orig k = w*vpw+i -> group w // (group/vpw),
+            # independent of the plane i (planar requires group % vpw == 0)
+            wv = wq.reshape(vpw, ng_tile, group // vpw, tn)
+            wd = (wv * s[None, :, None, :] + b[None, :, None, :]).reshape(tk, tn)
+        else:
+            wq = _unpack_words(w_ref[:], bits).astype(jnp.float32)  # [TK, TN]
+            tn = wq.shape[1]
+            if ng_tile == 1:
+                wd = wq * s + b
+            else:
+                wd = (wq.reshape(ng_tile, group, tn) * s[:, None, :]
+                      + b[:, None, :]).reshape(tk, tn)
+
+        x = x_ref[:]
+        acc_ref[:] += jax.lax.dot_general(
+            x, wd.astype(x.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(k == nk - 1)
     def _():
@@ -197,10 +209,13 @@ def _packed_matmul_local(
     planar = (TK // ng_tile) % vpw == 0
     if planar:
         x = _planar_perm_x(x, TK, vpw)
+    # grouped rescale only where the kernel is VPU-dequant-bound (small M,
+    # i.e. decode); prefill tiles stay on the classic dequant+dot
+    grouped = planar and TM <= 16
 
     out = pl.pallas_call(
         functools.partial(_kernel, bits=bits, ng_tile=ng_tile, tk=TK, nk=nk,
-                          planar=planar),
+                          planar=planar, grouped=grouped),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TM, TK), lambda i, j, k: (i, k)),
