@@ -616,7 +616,7 @@ def _kernel_b(
     tka, to_, ti,
     out_dtype, rms_eps,
     zc_qkv, zc_o, zc_gu, zc_d,
-    tp=1, tp_axis=None,
+    tp=1, tp_axis=None, chunk=False,
 ):
     l = pl.program_id(0)
     jl = pl.program_id(1)
@@ -728,6 +728,7 @@ def _kernel_b(
     def _attn_init():
         E = _expand_mat(n_heads, n_kv_heads)
         qkv = qkv_acc[:]                                  # [B, n_qkv]
+        qs, kds, vds = [], [], []
         for b in range(bsz):
             cos = cos_ref[b:b + 1].astype(jnp.float32)    # [1, D]
             sin = sin_ref[b:b + 1].astype(jnp.float32)
@@ -761,14 +762,45 @@ def _kernel_b(
             m_sc[rows] = jnp.broadcast_to(s_new, (n_heads, head_dim))
             l_sc[rows] = jnp.ones((n_heads, head_dim), jnp.float32)
             fa_sc[rows] = vd
+            if chunk:
+                qs.append(q); kds.append(kd); vds.append(vd)
 
-    # ---------------- phase 2b: flash, slot-major over (slot, t-block)
+        if chunk:
+            # intra-chunk causal attention (chunk mode: the B rows are C
+            # consecutive tokens of ONE sequence at positions prefix..
+            # prefix+C-1). Row i additionally attends rows j<i — their K/V
+            # exist only here (the cache holds rows < prefix, covered by
+            # phase 2b; the flash mask there stops at prefix). Static O(C^2)
+            # unrolled online-softmax updates; C is small (verify chunks).
+            for i in range(1, bsz):
+                rows = slice(i * n_heads, (i + 1) * n_heads)
+                for j in range(i):
+                    s = (qs[i] * kds[j]).sum(-1, keepdims=True) * scale
+                    m_old = m_sc[rows][:, :1]
+                    m_new = jnp.maximum(m_old, s)
+                    corr = jnp.exp(m_old - m_new)
+                    p_ = jnp.exp(s - m_new)
+                    fa_sc[rows] = fa_sc[rows] * corr + p_ * vds[j]
+                    l_sc[rows] = l_sc[rows] * corr + p_
+                    m_sc[rows] = jnp.broadcast_to(m_new,
+                                                  (n_heads, head_dim))
+
+    # ---------------- phase 2b: flash over (slot, t-block). Slot-major for
+    # the batched decode (each slot has its own cache rows); T-MAJOR in chunk
+    # mode (all C rows share ONE cache — consecutive steps revisit the same
+    # block, so it streams from HBM once, not C times). Chunk history stops
+    # at the shared prefix (rows >= prefix live in the intra-chunk pass).
     @pl.when((jl > nq) & (jl <= nq + ntB))
     def _attn_flash():
         t_all = jl - (nq + 1)
-        b = t_all // nt
-        t = t_all % nt
-        pos_b = pos_ref[b]
+        if chunk:
+            b = t_all % bsz
+            t = t_all // bsz
+            pos_b = pos_ref[0]  # shared prefix
+        else:
+            b = t_all // nt
+            t = t_all % nt
+            pos_b = pos_ref[b]
         boff = pl.multiple_of(b * n_heads, n_heads)
 
         @pl.when(t * tb < pos_b)
@@ -932,10 +964,19 @@ def _kernel_b(
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "meta", "interpret", "tp", "tp_axis"))
+                   static_argnames=("cfg", "meta", "interpret", "tp", "tp_axis",
+                                    "chunk"))
 def model_decode_mega_batch(stack, x, cos, sin, cache, positions, cfg, meta,
-                            interpret=False, tp=1, tp_axis=None, table=None):
+                            interpret=False, tp=1, tp_axis=None, table=None,
+                            chunk=False):
     """B-slot whole-model decode: x [B,1,H], per-slot positions [B].
+
+    chunk=True (round 3): the B rows are C CONSECUTIVE tokens of ONE sequence
+    at positions prefix..prefix+C-1 sharing ONE cache (B-dim 1) — the
+    whole-model CHUNK kernel for speculative-decoding verify and short
+    prefill ingest. Adds the intra-chunk causal attention pass; the flash
+    phase runs t-major so shared history blocks stream once; per-row logits
+    come from x_out's C rows. One weight stream scores the whole chunk.
 
     cache: HEAD-TRANSPOSED stacked dict {"k": [L,B,Hkv,T,D] int8, "v": ...,
     "k_scale": [L,B,Hkv,T], "v_scale": ...} (see stack_cache_batched).
@@ -975,6 +1016,9 @@ def model_decode_mega_batch(stack, x, cos, sin, cache, positions, cfg, meta,
     tka, to_, ti, _ = _model_tiles(cfg)
     to_ = _pick_tile(q_dim) or q_dim
     nq, no, ni = h // tka, q_dim // to_, inter_p // ti
+    if chunk:
+        assert tp == 1 and table is None
+        assert cache["k"].shape[1] == 1, "chunk mode shares one cache"
     if table is not None:
         assert tp == 1, "paged cache does not compose with in-kernel TP yet"
         tb = cache["k"].shape[3]            # page size == flash block
@@ -1001,7 +1045,7 @@ def model_decode_mega_batch(stack, x, cos, sin, cache, positions, cfg, meta,
         tka=tka, to_=to_, ti=ti,
         out_dtype=x.dtype, rms_eps=cfg.rms_eps,
         zc_qkv=zc_qkv, zc_o=zc_o, zc_gu=zc_gu, zc_d=zc_d,
-        tp=tp, tp_axis=tp_axis,
+        tp=tp, tp_axis=tp_axis, chunk=chunk,
     )
 
     # paged mode adds the page table as a SECOND scalar-prefetch operand, so
@@ -1018,7 +1062,17 @@ def model_decode_mega_batch(stack, x, cos, sin, cache, positions, cfg, meta,
         t_all = jnp.clip(j - (nq + 1), 0, ntB - 1)
         return t_all // nt, t_all % nt
 
-    if table is None:
+    if chunk:
+        # one shared cache: slot dim 0; t-major (matches the kernel's chunk
+        # ordering) and clamped to the shared prefix
+        def kv_map(l, j, p):
+            t = jnp.clip(j - (nq + 1), 0, ntB - 1) // B
+            return (l, 0, 0, jnp.minimum(t, p[0] // tb), 0)
+
+        def kvs_map(l, j, p):
+            t = jnp.clip(j - (nq + 1), 0, ntB - 1) // B
+            return (l, 0, 0, jnp.minimum(t, p[0] // tb))
+    elif table is None:
         def kv_map(l, j, p):
             b, t = bt(j)
             return (l, b, 0, jnp.minimum(t, p[b] // tb), 0)

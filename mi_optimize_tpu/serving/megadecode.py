@@ -222,6 +222,58 @@ def _scatter_rows_paged(pool, krows, vrows, ksr, vsr, table, positions):
     }
 
 
+def _scatter_chunk_rows(cache, krows, vrows, ksr, vsr, prefix):
+    """Write C consecutive rows at prefix into a 1-slot batched cache.
+    krows/vrows [L, C, Hkv, D], ksr/vsr [L, C, Hkv]."""
+    def kv(buf, new):   # buf [L,1,Hkv,T,D]
+        return jax.lax.dynamic_update_slice(
+            buf, jnp.swapaxes(new, 1, 2)[:, None].astype(buf.dtype),
+            (0, 0, 0, prefix, 0))
+
+    def sc(buf, new):   # buf [L,1,Hkv,T]
+        return jax.lax.dynamic_update_slice(
+            buf, jnp.swapaxes(new, 1, 2)[:, None].astype(buf.dtype),
+            (0, 0, 0, prefix))
+
+    return {
+        "k": kv(cache["k"], krows), "v": kv(cache["v"], vrows),
+        "k_scale": sc(cache["k_scale"], ksr),
+        "v_scale": sc(cache["v_scale"], vsr),
+    }
+
+
+@partial(jax.jit, static_argnames=("cfg", "meta", "interpret"))
+def model_step_chunk(params, stack, meta, cfg, tokens, cache, prefix,
+                     interpret=False):
+    """Whole-model CHUNK step (round 3): score C consecutive tokens of ONE
+    sequence (positions prefix..prefix+C-1) in one pallas launch — ONE weight
+    stream for the whole chunk, with intra-chunk causal attention inside the
+    kernel (ops/model_fused.py chunk mode).
+
+    tokens [1, C]; cache: 1-slot batched stacked layout ([L,1,Hkv,T,D] int8 +
+    scales — stack_cache_batched of a batch-1 engine cache). Returns
+    (logits [C, V], cache with the C rows written). This is the speculative-
+    decoding VERIFY primitive: the per-layer prefill_chunk streams weights at
+    per-layer-path cost (~16 ms on 7B int4); this runs at megakernel cost."""
+    from ..ops.model_fused import model_decode_mega_batch
+
+    C = tokens.shape[1]
+    h = cfg.hidden_size
+    x = llama.embed(params, tokens).reshape(C, 1, h)
+    positions = prefix + jnp.arange(C, dtype=jnp.int32)
+    cos, sin = llama.rope_tables(cfg, positions[:, None])
+    xo, krows, vrows, ksr, vsr = model_decode_mega_batch(
+        stack, x, cos.reshape(C, -1)[:, -cfg.head_dim:],
+        sin.reshape(C, -1)[:, -cfg.head_dim:],
+        cache, positions, cfg, meta, interpret=interpret, chunk=True)
+    krows, vrows, ksr, vsr = jax.lax.optimization_barrier(
+        (krows, vrows, ksr, vsr))
+    cache = _scatter_chunk_rows(cache, krows, vrows, ksr, vsr, prefix)
+    hh = llama.rms_norm(xo.reshape(1, C, h), params["final_norm"], cfg.rms_eps)
+    logits = llama.unembed(params, cfg, hh, fused=not interpret)[0]
+    return logits, cache
+
+
 @partial(jax.jit, static_argnames=("cfg", "meta", "interpret"))
 def model_step_batch_paged(params, stack, meta, cfg, tokens, pool, table,
                            positions, interpret=False):

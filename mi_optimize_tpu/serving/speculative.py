@@ -143,6 +143,64 @@ def _spec_loop_mega(tparams, dparams, dstack, dmeta, tcfg, dcfg, tcache, dcache,
     return out[:n], rounds, acc, prop
 
 
+@partial(jax.jit, static_argnames=("tcfg", "dcfg", "tmeta", "dmeta", "k", "n",
+                                   "interpret"))
+def _spec_loop_mega_full(tparams, dparams, tstack, dstack, tmeta, dmeta,
+                         tcfg, dcfg, tcache, dcache, last_tok, pos0, k, n,
+                         interpret=False):
+    """Fully-megakernel spec loop (round 3): draft steps on the whole-model
+    decode megakernel AND verify on the whole-model CHUNK megakernel
+    (megadecode.model_step_chunk) — both sides at one-weight-stream cost.
+    The 7B round-cost table (scripts/exp_specdec.py r3) showed the per-layer
+    chunk verify (~16 ms) dominated every round and made spec-dec unwinnable
+    against the 148 tok/s megakernel baseline; the chunk kernel removes that.
+
+    tcache: 1-slot batched stacked layout; dcache: single-stream stacked."""
+    from .megadecode import _model_step, model_step_chunk
+
+    BUF = n + k + 1
+
+    def cond(st):
+        return st[1] < n
+
+    def body(st):
+        out, n_out, pos, last, tc, dc, rounds, acc, prop = st
+
+        def dstep(carry, _):
+            tok, c, p = carry
+            logits, c = _model_step(dparams, dstack, dmeta, dcfg, tok, c, p,
+                                    interpret)
+            nt = jnp.argmax(logits, -1).astype(tok.dtype)[:, None]
+            return (nt, c, p + 1), nt[0, 0]
+
+        (lastk, dc, _), props = jax.lax.scan(
+            dstep, (last[None, None], dc, pos), None, length=k)
+        # unconditional ingest of p_{k-1} (rollback safety: see _spec_loop)
+        _, dc = _model_step(dparams, dstack, dmeta, dcfg, lastk, dc, pos + k,
+                            interpret)
+        chunk = jnp.concatenate([last[None], props])[None]  # [1, k+1]
+        vlogits, tc = model_step_chunk(tparams, tstack, tmeta, tcfg, chunk,
+                                       tc, pos, interpret)
+        ver = jnp.argmax(vlogits, -1).astype(props.dtype)   # [k+1]
+        match = ver[:k] == props
+        n_accept = jnp.where(match.all(), k,
+                             jnp.argmin(match.astype(jnp.int32)))
+        bonus = ver[n_accept]
+        lane = jnp.arange(k + 1)
+        emit = jnp.where(lane < n_accept, jnp.append(props, 0),
+                         jnp.where(lane == n_accept, bonus, 0)).astype(out.dtype)
+        out = jax.lax.dynamic_update_slice(out, emit, (n_out,))
+        return (out, n_out + n_accept + 1, pos + n_accept + 1, bonus,
+                tc, dc, rounds + 1, acc + n_accept, prop + k)
+
+    out0 = jnp.zeros((BUF,), jnp.int32)
+    st = (out0, jnp.asarray(0), jnp.asarray(pos0), last_tok.astype(jnp.int32),
+          tcache, dcache, jnp.asarray(0), jnp.asarray(0), jnp.asarray(0))
+    out, n_out, pos, last, tc, dc, rounds, acc, prop = jax.lax.while_loop(
+        cond, body, st)
+    return out[:n], rounds, acc, prop
+
+
 def speculative_generate(
     target: Model,
     draft: Model,
@@ -154,6 +212,7 @@ def speculative_generate(
     cache_dtype=jnp.float32,
     on_device: bool = True,
     draft_megakernel: Optional[bool] = None,
+    verify_megakernel: Optional[bool] = None,
 ) -> Tuple[np.ndarray, dict]:
     """Greedy speculative decode; returns (tokens [1, S+new], stats).
 
@@ -163,6 +222,10 @@ def speculative_generate(
     (_spec_loop); on_device=False keeps the host loop (reference/debugging).
     draft_megakernel (None = auto on TPU): run the draft on the whole-model
     decode megakernel (_spec_loop_mega) when its contract holds.
+    verify_megakernel (None = follow draft_megakernel): verify chunks on the
+    whole-model CHUNK megakernel (_spec_loop_mega_full) — required for
+    spec-dec to beat the plain megakernel decode (see BENCH_DETAILS r3
+    round-cost table: the per-layer verify dominates otherwise).
     """
     cfg = target.config
     seq = list(np.asarray(prompt).reshape(-1))
@@ -173,32 +236,45 @@ def speculative_generate(
     t_calls = d_calls = 0
     proposed_total = accepted_total = 0
 
-    dm = None
+    dm = tm = None
     if on_device and draft_megakernel is not False:
         if draft_megakernel or (fused and jax.default_backend() == "tpu"):
             from .megadecode import stack_serving
 
             dm = stack_serving(draft)
+    if dm is not None and verify_megakernel is not False:
+        from .megadecode import stack_serving
+
+        tm = stack_serving(target)
     if dm is not None:
         total = -(-total // 128) * 128  # megakernel flash phase block size
 
     ids = jnp.asarray(np.asarray(prompt).reshape(1, -1))
-    tcache = init_cache(cfg, 1, total, cache_dtype)
+    tcache = init_cache(cfg, 1, total,
+                        jnp.int8 if tm is not None else cache_dtype)
     dcache = init_cache(draft.config, 1, total,
                         jnp.int8 if dm is not None else cache_dtype)
     tlogits, tcache = prefill(target.params, cfg, ids, tcache, fused)
     _, dcache = prefill(draft.params, draft.config, ids, dcache, fused)
 
     if on_device and dm is not None:
-        from .megadecode import stack_cache
+        from .megadecode import stack_cache, stack_cache_batched
 
         dstack, dmeta = dm
         first = jnp.argmax(tlogits, -1)[0]
-        rest, rounds, acc, prop = _spec_loop_mega(
-            target.params, draft.params, dstack, dmeta, cfg, draft.config,
-            tcache, stack_cache(dcache), first, n_prompt, k,
-            max_new_tokens - 1, fused,
-            interpret=jax.default_backend() != "tpu")
+        interp = jax.default_backend() != "tpu"
+        if tm is not None:
+            tstack, tmeta = tm
+            rest, rounds, acc, prop = _spec_loop_mega_full(
+                target.params, draft.params, tstack, dstack, tmeta, dmeta,
+                cfg, draft.config, stack_cache_batched(tcache),
+                stack_cache(dcache), first, n_prompt, k, max_new_tokens - 1,
+                interpret=interp)
+        else:
+            rest, rounds, acc, prop = _spec_loop_mega(
+                target.params, draft.params, dstack, dmeta, cfg, draft.config,
+                tcache, stack_cache(dcache), first, n_prompt, k,
+                max_new_tokens - 1, fused, interpret=interp)
         out = np.concatenate([[int(first)], np.asarray(rest)])
         seq = seq + list(out[:max_new_tokens])
         rounds = int(rounds)
@@ -207,6 +283,7 @@ def speculative_generate(
             "draft_calls": rounds * (k + 1),
             "accept_rate": int(acc) / max(int(prop), 1),
             "draft_megakernel": True,
+            "verify_megakernel": tm is not None,
         }
         return np.asarray(seq)[None, :], stats
 

@@ -85,32 +85,50 @@ timed("specdec k=4 int2-draft MEGA-draft",
 # table is the honest way to state when spec-dec wins on a real checkpoint)
 from mi_optimize_tpu.serving.engine import prefill_chunk
 from mi_optimize_tpu.serving.megadecode import (
-    decode_loop_model, stack_cache, stack_serving)
+    decode_loop_model, model_step_chunk, stack_cache, stack_cache_batched,
+    stack_serving)
 
 K = 4
 NSTEP = 32
-dstack, dmeta = stack_serving(d2)
-dc = stack_cache(init_cache(cfg, 1, 256, jnp.int8))
 
 
-def t_draft_mega():
-    toks, _c = decode_loop_model(d2.params, dstack, dmeta, cfg,
-                                 jnp.ones((1, 1), jnp.int32), dc,
-                                 jnp.asarray(64), NSTEP)
-    _ = int(np.asarray(toks).reshape(-1)[-1])
+def measure_draft(dmodel):
+    st = stack_serving(dmodel)
+    dc = stack_cache(init_cache(dmodel.config, 1, 256, jnp.int8))
+
+    def go():
+        toks, _c = decode_loop_model(dmodel.params, st[0], st[1],
+                                     dmodel.config, jnp.ones((1, 1), jnp.int32),
+                                     dc, jnp.asarray(64), NSTEP)
+        _ = int(np.asarray(toks).reshape(-1)[-1])
+
+    go()
+    t0 = time.perf_counter(); go()
+    return (time.perf_counter() - t0) / NSTEP
 
 
-t_draft_mega()
-t0 = time.perf_counter(); t_draft_mega()
-td = (time.perf_counter() - t0) / NSTEP
+td_int2 = measure_draft(d2)
 
+# a SMALL draft (4 of 32 layers, int4): the realistic spec-dec configuration —
+# a same-size low-bit draft costs ~90% of the target step and cannot win
+from dataclasses import replace
+
+small_cfg = replace(cfg, num_layers=4)
+d_small = fuse_for_serving(Model(
+    config=small_cfg,
+    params=build_quantized_llama_on_device(small_cfg, bits=4, groupsize=128),
+    family="llama"))
+td_small = measure_draft(d_small)
+
+# verify cost, BOTH paths: per-layer prefill_chunk vs the whole-model CHUNK
+# megakernel (round 3)
+chunk = jnp.ones((1, K + 1), jnp.int32)
 tcache = init_cache(cfg, 1, 256, jnp.int8)
 _, tcache = prefill(target.params, cfg, jnp.asarray(prompt), tcache, True)
-chunk = jnp.ones((1, K + 1), jnp.int32)
 
 
 @jax.jit
-def verify_n(params, cache):
+def verify_layerwise(params, cache):
     def step(c, _):
         lg, c = prefill_chunk(params, cfg, chunk, c, jnp.asarray(64), True)
         return c, lg[0, -1, 0]
@@ -119,18 +137,49 @@ def verify_n(params, cache):
     return xs
 
 
-xs = verify_n(target.params, tcache); _ = float(xs[-1])
+xs = verify_layerwise(target.params, tcache); _ = float(xs[-1])
 t0 = time.perf_counter()
-xs = verify_n(target.params, tcache); _ = float(xs[-1])
-tv = (time.perf_counter() - t0) / NSTEP
+xs = verify_layerwise(target.params, tcache); _ = float(xs[-1])
+tv_layer = (time.perf_counter() - t0) / NSTEP
 
-rows = []
-for alpha in (0.0, 0.25, 0.5, 0.7, 0.9, 1.0):
-    # E[tokens emitted per round] with per-position accept prob α, k drafts
-    e_tok = sum(alpha ** i for i in range(K)) + alpha ** K  # accepted + bonus
-    round_s = K * td + tv
-    rows.append({"alpha": alpha, "proj_tokens_per_s": round(e_tok / round_s, 1)})
-print(json.dumps({"what": "round-cost (k=4, int2 MEGA draft + chunk verify)",
-                  "draft_step_ms": round(td * 1e3, 3),
-                  "verify_chunk_ms": round(tv * 1e3, 3),
-                  "projection": rows}), flush=True)
+tstack, tmeta = stack_serving(target)
+tcb = stack_cache_batched(tcache)
+
+
+@jax.jit
+def verify_mega(params, tstack, cache):
+    def step(c, _):
+        lg, c = model_step_chunk(params, tstack, tmeta, cfg, chunk, c,
+                                 jnp.asarray(64))
+        return c, lg[-1, 0]
+
+    _, xs = jax.lax.scan(step, cache, None, length=NSTEP)
+    return xs
+
+
+xs = verify_mega(target.params, tstack, tcb); _ = float(xs[-1])
+t0 = time.perf_counter()
+xs = verify_mega(target.params, tstack, tcb); _ = float(xs[-1])
+tv_mega = (time.perf_counter() - t0) / NSTEP
+
+
+def projection(td, tv):
+    rows = []
+    for alpha in (0.0, 0.25, 0.5, 0.7, 0.9, 1.0):
+        # E[tokens/round] with per-position accept prob α: accepted + bonus
+        e_tok = sum(alpha ** i for i in range(K)) + alpha ** K
+        rows.append({"alpha": alpha,
+                     "proj_tokens_per_s": round(e_tok / (K * td + tv), 1)})
+    return rows
+
+
+print(json.dumps({
+    "what": "round-cost decomposition (k=4)",
+    "draft_step_ms": {"int2_32L": round(td_int2 * 1e3, 3),
+                      "int4_4L": round(td_small * 1e3, 3)},
+    "verify_chunk_ms": {"per_layer": round(tv_layer * 1e3, 3),
+                        "chunk_megakernel": round(tv_mega * 1e3, 3)},
+    "projection_int2_draft_mega_verify": projection(td_int2, tv_mega),
+    "projection_4L_draft_mega_verify": projection(td_small, tv_mega),
+    "projection_4L_draft_layer_verify": projection(td_small, tv_layer),
+}), flush=True)

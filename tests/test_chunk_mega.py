@@ -1,0 +1,88 @@
+"""Whole-model CHUNK megakernel == per-layer prefill_chunk (round 3).
+
+model_step_chunk scores C consecutive tokens of one sequence in one pallas
+launch (intra-chunk causal attention inside the kernel, shared history blocks
+streamed once). It must match the per-layer prefill_chunk path: same greedy
+verdicts per chunk position, same written KV rows.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mi_optimize_tpu.serving import init_cache, prefill
+from mi_optimize_tpu.serving.engine import prefill_chunk
+from mi_optimize_tpu.serving.megadecode import (
+    model_step_chunk, stack_cache_batched, stack_serving)
+from tests.test_model_fused_batch import _mega_model
+
+
+def test_chunk_mega_matches_prefill_chunk():
+    model = _mega_model(seed=9)
+    cfg = model.config
+    stack, meta = stack_serving(model)
+    rng = np.random.default_rng(17)
+    T, S, C = 256, 70, 5
+    prompt = rng.integers(0, 128, (1, S))
+    chunk = rng.integers(0, 128, (1, C))
+
+    # reference: per-layer fp prefill + prefill_chunk
+    ref_cache = init_cache(cfg, 1, T, jnp.float32)
+    _, ref_cache = prefill(model.params, cfg, jnp.asarray(prompt), ref_cache,
+                           False)
+    ref_logits, ref_c2 = prefill_chunk(model.params, cfg, jnp.asarray(chunk),
+                                       ref_cache, jnp.asarray(S), False)
+    ref_logits = np.asarray(ref_logits[0])                    # [C, V]
+
+    # chunk megakernel: int8 1-slot stacked cache
+    one = init_cache(cfg, 1, T, jnp.int8)
+    _, one = prefill(model.params, cfg, jnp.asarray(prompt), one, False)
+    sc = stack_cache_batched(one)
+    logits, sc2 = model_step_chunk(model.params, stack, meta, cfg,
+                                   jnp.asarray(chunk), sc, jnp.asarray(S),
+                                   interpret=True)
+    logits = np.asarray(logits)
+
+    assert logits.shape == ref_logits.shape
+    np.testing.assert_allclose(logits, ref_logits, rtol=3e-2, atol=3e-2)
+    for c in range(C):
+        assert int(np.argmax(logits[c])) == int(np.argmax(ref_logits[c])), c
+
+    # the C rows landed at prefix..prefix+C-1 (dequantized ≈ the fp rows)
+    kq = np.asarray(sc2["k"][0, 0, :, S:S + C]).astype(np.float32)
+    ks = np.asarray(sc2["k_scale"][0, 0, :, S:S + C])
+    ref_rows = np.asarray(ref_c2[0][0][0, S:S + C])           # [C, Hkv, D]
+    np.testing.assert_allclose(kq * ks[..., None],
+                               np.swapaxes(ref_rows, 0, 1),
+                               rtol=5e-2, atol=5e-2)
+    # nothing written past the chunk
+    assert np.abs(np.asarray(sc2["k"][0, 0, :, S + C:])).sum() == 0
+
+
+def test_chunk_mega_empty_history():
+    """prefix at the very start of a sequence: only intra-chunk attention."""
+    model = _mega_model(seed=10)
+    cfg = model.config
+    stack, meta = stack_serving(model)
+    rng = np.random.default_rng(19)
+    T, C = 128, 4
+    chunk = rng.integers(0, 128, (1, C))
+
+    ref_cache = init_cache(cfg, 1, T, jnp.float32)
+    ref_logits, _ = prefill_chunk(model.params, cfg, jnp.asarray(chunk),
+                                  ref_cache, jnp.asarray(0), False)
+    ref_logits = np.asarray(ref_logits[0])
+
+    sc = stack_cache_batched(init_cache(cfg, 1, T, jnp.int8))
+    logits, _ = model_step_chunk(model.params, stack, meta, cfg,
+                                 jnp.asarray(chunk), sc, jnp.asarray(0),
+                                 interpret=True)
+    logits = np.asarray(logits)
+    # tolerance: the kernel's intra-chunk rows go through the int8 KV grid
+    # (like every cached row) while the per-layer reference keeps the chunk's
+    # own k/v in fp — inherent ~raw-quantization-level noise, and argmax may
+    # flip only on a near-tie
+    np.testing.assert_allclose(logits, ref_logits, rtol=6e-2, atol=6e-2)
+    for c in range(C):
+        pick = int(np.argmax(logits[c]))
+        gap = float(ref_logits[c].max() - ref_logits[c][pick])
+        assert gap < 0.06, (c, gap)
