@@ -616,7 +616,7 @@ def _kernel_b(
     tka, to_, ti,
     out_dtype, rms_eps,
     zc_qkv, zc_o, zc_gu, zc_d,
-    tp=1, tp_axis=None, chunk=False,
+    tp=1, tp_axis=None, chunk=1,
 ):
     l = pl.program_id(0)
     jl = pl.program_id(1)
@@ -625,6 +625,8 @@ def _kernel_b(
     reps = n_heads // n_kv_heads
     scale = 1.0 / float(np.sqrt(head_dim))
     ntB = bsz * nt
+    C = chunk              # tokens per slot: 1 = batched decode; >1 = each
+    nslots = bsz // C      # slot contributes C consecutive chunk rows
 
     # --- overlapped TP all-reduce of the o/down row-parallel partials -------
     # (round 3, VERDICT item 3). The two reduce points are no longer blocking
@@ -762,28 +764,31 @@ def _kernel_b(
             m_sc[rows] = jnp.broadcast_to(s_new, (n_heads, head_dim))
             l_sc[rows] = jnp.ones((n_heads, head_dim), jnp.float32)
             fa_sc[rows] = vd
-            if chunk:
+            if C > 1:
                 qs.append(q); kds.append(kd); vds.append(vd)
 
-        if chunk:
-            # intra-chunk causal attention (chunk mode: the B rows are C
-            # consecutive tokens of ONE sequence at positions prefix..
-            # prefix+C-1). Row i additionally attends rows j<i — their K/V
-            # exist only here (the cache holds rows < prefix, covered by
-            # phase 2b; the flash mask there stops at prefix). Static O(C^2)
-            # unrolled online-softmax updates; C is small (verify chunks).
-            for i in range(1, bsz):
-                rows = slice(i * n_heads, (i + 1) * n_heads)
-                for j in range(i):
-                    s = (qs[i] * kds[j]).sum(-1, keepdims=True) * scale
-                    m_old = m_sc[rows][:, :1]
-                    m_new = jnp.maximum(m_old, s)
-                    corr = jnp.exp(m_old - m_new)
-                    p_ = jnp.exp(s - m_new)
-                    fa_sc[rows] = fa_sc[rows] * corr + p_ * vds[j]
-                    l_sc[rows] = l_sc[rows] * corr + p_
-                    m_sc[rows] = jnp.broadcast_to(m_new,
-                                                  (n_heads, head_dim))
+        if C > 1:
+            # intra-chunk causal attention (chunk mode: each slot's C rows
+            # are consecutive tokens of ONE sequence at positions prefix..
+            # prefix+C-1). Row i additionally attends its slot's rows j<i —
+            # their K/V exist only here (the cache holds rows < prefix,
+            # covered by phase 2b; the flash mask there stops at prefix).
+            # Static O(C^2) unrolled online-softmax updates; C is small.
+            for s0 in range(nslots):
+                for i in range(1, C):
+                    r = s0 * C + i
+                    rows = slice(r * n_heads, (r + 1) * n_heads)
+                    for j in range(i):
+                        rj = s0 * C + j
+                        s = (qs[r] * kds[rj]).sum(-1, keepdims=True) * scale
+                        m_old = m_sc[rows][:, :1]
+                        m_new = jnp.maximum(m_old, s)
+                        corr = jnp.exp(m_old - m_new)
+                        p_ = jnp.exp(s - m_new)
+                        fa_sc[rows] = fa_sc[rows] * corr + p_ * vds[rj]
+                        l_sc[rows] = l_sc[rows] * corr + p_
+                        m_sc[rows] = jnp.broadcast_to(m_new,
+                                                      (n_heads, head_dim))
 
     # ---------------- phase 2b: flash over (slot, t-block). Slot-major for
     # the batched decode (each slot has its own cache rows); T-MAJOR in chunk
@@ -793,10 +798,12 @@ def _kernel_b(
     @pl.when((jl > nq) & (jl <= nq + ntB))
     def _attn_flash():
         t_all = jl - (nq + 1)
-        if chunk:
-            b = t_all % bsz
-            t = t_all // bsz
-            pos_b = pos_ref[0]  # shared prefix
+        if C > 1:
+            s0 = t_all // (C * nt)
+            rem = t_all % (C * nt)
+            t = rem // C
+            b = s0 * C + rem % C
+            pos_b = pos_ref[s0 * C]  # the slot's shared prefix
         else:
             b = t_all // nt
             t = t_all % nt
@@ -968,15 +975,17 @@ def _kernel_b(
                                     "chunk"))
 def model_decode_mega_batch(stack, x, cos, sin, cache, positions, cfg, meta,
                             interpret=False, tp=1, tp_axis=None, table=None,
-                            chunk=False):
+                            chunk=1):
     """B-slot whole-model decode: x [B,1,H], per-slot positions [B].
 
-    chunk=True (round 3): the B rows are C CONSECUTIVE tokens of ONE sequence
-    at positions prefix..prefix+C-1 sharing ONE cache (B-dim 1) — the
-    whole-model CHUNK kernel for speculative-decoding verify and short
-    prefill ingest. Adds the intra-chunk causal attention pass; the flash
-    phase runs t-major so shared history blocks stream once; per-row logits
-    come from x_out's C rows. One weight stream scores the whole chunk.
+    chunk=C>1 (round 3): the rows are B/C slots x C CONSECUTIVE tokens each —
+    slot s's rows sit at positions prefix_s..prefix_s+C-1 against its own
+    cache (cache B-dim = B/C) — the whole-model CHUNK kernel for speculative-
+    decoding verify (all slots' chunks in one launch) and short prefill
+    ingest. Adds the per-slot intra-chunk causal attention pass; the flash
+    phase runs t-major within each slot so shared history blocks stream
+    once; per-row logits come from x_out's rows. One weight stream scores
+    every chunk. chunk=1 is the plain batched decode.
 
     cache: HEAD-TRANSPOSED stacked dict {"k": [L,B,Hkv,T,D] int8, "v": ...,
     "k_scale": [L,B,Hkv,T], "v_scale": ...} (see stack_cache_batched).
@@ -1016,9 +1025,11 @@ def model_decode_mega_batch(stack, x, cos, sin, cache, positions, cfg, meta,
     tka, to_, ti, _ = _model_tiles(cfg)
     to_ = _pick_tile(q_dim) or q_dim
     nq, no, ni = h // tka, q_dim // to_, inter_p // ti
-    if chunk:
+    if chunk > 1:
         assert tp == 1 and table is None
-        assert cache["k"].shape[1] == 1, "chunk mode shares one cache"
+        assert B % chunk == 0
+        assert cache["k"].shape[1] == B // chunk, \
+            "chunk mode: one cache slot per C rows"
     if table is not None:
         assert tp == 1, "paged cache does not compose with in-kernel TP yet"
         tb = cache["k"].shape[3]            # page size == flash block
@@ -1062,16 +1073,22 @@ def model_decode_mega_batch(stack, x, cos, sin, cache, positions, cfg, meta,
         t_all = jnp.clip(j - (nq + 1), 0, ntB - 1)
         return t_all // nt, t_all % nt
 
-    if chunk:
-        # one shared cache: slot dim 0; t-major (matches the kernel's chunk
-        # ordering) and clamped to the shared prefix
+    if chunk > 1:
+        # per-slot caches, C rows each: slot-major / t-major-within-slot
+        # (matches the kernel's chunk ordering), clamped to the slot's prefix
+        C = chunk
+
+        def _st(j):
+            t_all = jnp.clip(j - (nq + 1), 0, ntB - 1)
+            return t_all // (C * nt), (t_all % (C * nt)) // C
+
         def kv_map(l, j, p):
-            t = jnp.clip(j - (nq + 1), 0, ntB - 1) // B
-            return (l, 0, 0, jnp.minimum(t, p[0] // tb), 0)
+            s0, t = _st(j)
+            return (l, s0, 0, jnp.minimum(t, p[s0 * C] // tb), 0)
 
         def kvs_map(l, j, p):
-            t = jnp.clip(j - (nq + 1), 0, ntB - 1) // B
-            return (l, 0, 0, jnp.minimum(t, p[0] // tb))
+            s0, t = _st(j)
+            return (l, s0, 0, jnp.minimum(t, p[s0 * C] // tb))
     elif table is None:
         def kv_map(l, j, p):
             b, t = bt(j)

@@ -281,16 +281,19 @@ class SpeculativeBatcher(ContinuousBatcher):
     1..k+1 tokens per step. Greedy spec-dec is exact, so emitted sequences
     equal the plain batcher's (tests/test_spec_batched.py).
 
-    The TARGET cache stays in the per-layer layout (its forwards are chunk
-    verifies, which take the prefill path); the DRAFT cache uses the batched
-    stacked megakernel layout when available."""
+    The TARGET side verifies all slots' chunks in ONE whole-model launch when
+    the chunk megakernel is available (megadecode.model_step_chunk_batch —
+    pass use_megakernel=True with an int8 cache, auto on TPU); otherwise the
+    per-layer prefill_chunk_batched path runs. The DRAFT side uses the
+    batched stacked megakernel layout when available."""
 
     def __init__(self, model: Model, draft: Model, k: int = 4,
                  n_slots: int = 4, max_len: int = 512, fused: bool = True,
                  cache_dtype=jnp.float32,
-                 use_draft_megakernel: Optional[bool] = None):
+                 use_draft_megakernel: Optional[bool] = None,
+                 use_megakernel: Optional[bool] = None):
         super().__init__(model, n_slots, max_len, fused, cache_dtype,
-                         use_megakernel=False)
+                         use_megakernel=use_megakernel)
         self.draft = draft
         self.k = k
         self._dmega = None
@@ -354,10 +357,20 @@ class SpeculativeBatcher(ContinuousBatcher):
                 self.draft.params, self.draft.config, toks, self.dcache, pos,
                 self.k, self.fused)
         chunk = jnp.concatenate([toks, props], axis=1)       # [B, k+1]
-        from .engine import prefill_chunk_batched
+        if self._mega is not None:
+            # all slots' chunks verified in ONE whole-model launch
+            from .megadecode import model_step_chunk_batch
 
-        vlogits, self.cache = prefill_chunk_batched(
-            self.model.params, self.cfg, chunk, self.cache, pos, self.fused)
+            tstack, tmeta = self._mega
+            vlogits, self.cache = model_step_chunk_batch(
+                self.model.params, tstack, tmeta, self.cfg, chunk, self.cache,
+                pos, interpret=interp)
+        else:
+            from .engine import prefill_chunk_batched
+
+            vlogits, self.cache = prefill_chunk_batched(
+                self.model.params, self.cfg, chunk, self.cache, pos,
+                self.fused)
         ver = np.argmax(np.asarray(vlogits), axis=-1)        # [B, k+1]
         props_np = np.asarray(props)
         self.rounds += 1

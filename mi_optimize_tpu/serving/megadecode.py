@@ -265,12 +265,74 @@ def model_step_chunk(params, stack, meta, cfg, tokens, cache, prefix,
     xo, krows, vrows, ksr, vsr = model_decode_mega_batch(
         stack, x, cos.reshape(C, -1)[:, -cfg.head_dim:],
         sin.reshape(C, -1)[:, -cfg.head_dim:],
-        cache, positions, cfg, meta, interpret=interpret, chunk=True)
+        cache, positions, cfg, meta, interpret=interpret, chunk=C)
     krows, vrows, ksr, vsr = jax.lax.optimization_barrier(
         (krows, vrows, ksr, vsr))
     cache = _scatter_chunk_rows(cache, krows, vrows, ksr, vsr, prefix)
     hh = llama.rms_norm(xo.reshape(1, C, h), params["final_norm"], cfg.rms_eps)
     logits = llama.unembed(params, cfg, hh, fused=not interpret)[0]
+    return logits, cache
+
+
+def _scatter_chunk_rows_batched(cache, krows, vrows, ksr, vsr, prefixes, C):
+    """Write each slot's C consecutive rows at its own prefix.
+    krows/vrows [L, B*C, Hkv, D] (slot-major rows), prefixes [B]."""
+    L = krows.shape[0]
+    B = prefixes.shape[0]
+
+    def kv(buf, new):   # buf [L,B,Hkv,T,D]
+        new = jnp.swapaxes(new.reshape(L, B, C, new.shape[2], new.shape[3]),
+                           2, 3)                       # [L,B,Hkv,C,D]
+
+        def one(bufb, newb, p):  # [L,Hkv,T,D], [L,Hkv,C,D]
+            return jax.lax.dynamic_update_slice(
+                bufb, newb.astype(bufb.dtype), (0, 0, p, 0))
+
+        return jax.vmap(one, in_axes=(1, 1, 0), out_axes=1)(buf, new, prefixes)
+
+    def sc(buf, new):   # buf [L,B,Hkv,T]
+        new = jnp.swapaxes(new.reshape(L, B, C, new.shape[2]), 2, 3)
+
+        def one(bufb, newb, p):
+            return jax.lax.dynamic_update_slice(
+                bufb, newb.astype(bufb.dtype), (0, 0, p))
+
+        return jax.vmap(one, in_axes=(1, 1, 0), out_axes=1)(buf, new, prefixes)
+
+    return {
+        "k": kv(cache["k"], krows), "v": kv(cache["v"], vrows),
+        "k_scale": sc(cache["k_scale"], ksr),
+        "v_scale": sc(cache["v_scale"], vsr),
+    }
+
+
+@partial(jax.jit, static_argnames=("cfg", "meta", "interpret"))
+def model_step_chunk_batch(params, stack, meta, cfg, tokens, cache, prefixes,
+                           interpret=False):
+    """B-slot chunk verify in ONE whole-model launch (round 3): tokens [B, C]
+    — slot b's chunk sits at positions prefixes[b]..prefixes[b]+C-1 against
+    its own cache slot. Returns (logits [B, C, V], cache with all B*C rows
+    written). The speculative-decoding verify primitive for continuous
+    batching: one weight stream scores every slot's chunk (the per-layer
+    prefill_chunk_batched streams weights at per-layer-path cost)."""
+    from ..ops.model_fused import model_decode_mega_batch
+
+    B, C = tokens.shape
+    h = cfg.hidden_size
+    x = llama.embed(params, tokens).reshape(B * C, 1, h)
+    positions = (prefixes[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :]
+                 ).reshape(B * C)
+    cos, sin = llama.rope_tables(cfg, positions[:, None])
+    xo, krows, vrows, ksr, vsr = model_decode_mega_batch(
+        stack, x, cos.reshape(B * C, -1)[:, -cfg.head_dim:],
+        sin.reshape(B * C, -1)[:, -cfg.head_dim:],
+        cache, positions, cfg, meta, interpret=interpret, chunk=C)
+    krows, vrows, ksr, vsr = jax.lax.optimization_barrier(
+        (krows, vrows, ksr, vsr))
+    cache = _scatter_chunk_rows_batched(cache, krows, vrows, ksr, vsr,
+                                        prefixes, C)
+    hh = llama.rms_norm(xo.reshape(B, C, h), params["final_norm"], cfg.rms_eps)
+    logits = llama.unembed(params, cfg, hh, fused=not interpret)
     return logits, cache
 
 

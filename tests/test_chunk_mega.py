@@ -58,6 +58,70 @@ def test_chunk_mega_matches_prefill_chunk():
     assert np.abs(np.asarray(sc2["k"][0, 0, :, S + C:])).sum() == 0
 
 
+def test_chunk_mega_batched_matches_per_slot():
+    """B-slot chunk verify (one launch) == per-slot single-chunk calls."""
+    from mi_optimize_tpu.serving.megadecode import model_step_chunk_batch
+
+    model = _mega_model(seed=11)
+    cfg = model.config
+    stack, meta = stack_serving(model)
+    rng = np.random.default_rng(23)
+    B, T, C = 2, 128, 4
+    prefixes = np.array([9, 41])
+    chunks = rng.integers(0, 128, (B, C))
+
+    slot_caches = []
+    ref_logits = []
+    for b in range(B):
+        one = init_cache(cfg, 1, T, jnp.int8)
+        p = rng.integers(0, 128, (1, int(prefixes[b])))
+        _, one = prefill(model.params, cfg, jnp.asarray(p), one, False)
+        sc1 = stack_cache_batched(one)
+        lg, _ = model_step_chunk(model.params, stack, meta, cfg,
+                                 jnp.asarray(chunks[b:b + 1]), sc1,
+                                 jnp.asarray(int(prefixes[b])), interpret=True)
+        ref_logits.append(np.asarray(lg))
+        slot_caches.append(sc1)
+
+    cache = {f: jnp.concatenate([c[f] for c in slot_caches], axis=1)
+             for f in slot_caches[0]}
+    logits, c2 = model_step_chunk_batch(
+        model.params, stack, meta, cfg, jnp.asarray(chunks), cache,
+        jnp.asarray(prefixes), interpret=True)
+    logits = np.asarray(logits)
+    for b in range(B):
+        np.testing.assert_allclose(logits[b], ref_logits[b],
+                                   rtol=1e-4, atol=1e-4, err_msg=f"slot {b}")
+        # rows written at the slot's own prefix range, not beyond
+        assert np.abs(np.asarray(
+            c2["k"][0, b, :, prefixes[b] + C:])).sum() == 0
+
+
+def test_spec_batcher_mega_verify_matches_dense():
+    """SpeculativeBatcher with the chunk-megakernel verify emits exactly the
+    dense megakernel ContinuousBatcher's greedy sequences."""
+    from mi_optimize_tpu.serving.batching import (
+        ContinuousBatcher, SpeculativeBatcher)
+
+    model = _mega_model(seed=12)
+    rng = np.random.default_rng(29)
+    prompts = [rng.integers(0, 128, (10 + 3 * i,)) for i in range(3)]
+
+    dense = ContinuousBatcher(model, n_slots=2, max_len=256,
+                              cache_dtype=jnp.int8, use_megakernel=True)
+    ref = dense.run_all(list(prompts), max_new_tokens=8)
+
+    sb = SpeculativeBatcher(model, model, k=3, n_slots=2, max_len=256,
+                            cache_dtype=jnp.int8, use_megakernel=True,
+                            use_draft_megakernel=True)
+    got = sb.run_all(list(prompts), max_new_tokens=8)
+    assert set(got) == set(ref)
+    for rid in ref:
+        assert got[rid] == ref[rid], f"request {rid} diverged"
+    # draft == target: every proposal accepted
+    assert sb.accepted == sb.proposed
+
+
 def test_chunk_mega_empty_history():
     """prefix at the very start of a sequence: only intra-chunk attention."""
     model = _mega_model(seed=10)
