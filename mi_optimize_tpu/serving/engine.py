@@ -159,10 +159,29 @@ def decode_loop(params, cfg, token, cache, pos0, n, fused=True):
     return jnp.swapaxes(toks, 0, 1), cache
 
 
-def _sample(logits, temperature, key):
+def _sample(logits, temperature, key, top_p=1.0, top_k=0):
+    """Greedy (temperature 0) or temperature sampling with optional
+    nucleus (top_p) / top_k truncation — the sampler surface the reference
+    reaches through HF generate (temperature/top_p kwargs,
+    /root/reference/mi_optimize/benchmark.py:97,145). jit-safe: static
+    truncation thresholds, sorted-mass masking."""
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1)
-    return jax.random.categorical(key, logits / temperature, axis=-1)
+    logits = logits / temperature
+    if top_k and top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        # exclusive cumulative mass: keep every token whose predecessors'
+        # mass is < top_p (always keeps the most likely token)
+        cum = jnp.cumsum(probs, axis=-1) - probs
+        keep = cum < top_p
+        cutoff = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1,
+                         keepdims=True)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1)
 
 
 def generate(
@@ -175,8 +194,10 @@ def generate(
     seed: int = 0,
     fused: bool = True,
     cache_dtype=jnp.float32,
+    top_p: float = 1.0,
+    top_k: int = 0,
 ) -> np.ndarray:
-    """Greedy/temperature generation; returns [B, prompt+new] token ids."""
+    """Greedy/temperature/top-p/top-k generation; returns [B, prompt+new]."""
     cfg, params = model.config, model.params
     input_ids = np.asarray(input_ids)
     B, S = input_ids.shape
@@ -192,7 +213,7 @@ def generate(
     tok = None
     for i in range(max_new_tokens):
         key, sub = jax.random.split(key)
-        tok = _sample(logits, temperature, sub)
+        tok = _sample(logits, temperature, sub, top_p, top_k)
         out.append(np.asarray(tok)[:, None])
         if eos_token_id is not None and bool((tok == eos_token_id).all()):
             break

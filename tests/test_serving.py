@@ -314,3 +314,28 @@ def test_continuous_batching_across_hosts():
     assert reqs[r1].tokens == ref[0]
     assert reqs[r2].tokens == ref[1]
     assert req3 is not None and req3.tokens == ref[2]
+
+
+def test_sampler_top_p_top_k():
+    """_sample truncation semantics: top_k=1 and tiny top_p reduce to argmax;
+    nucleus sampling never draws from outside the top-p mass."""
+    import jax
+
+    from mi_optimize_tpu.serving.engine import _sample
+
+    logits = jnp.asarray([[3.0, 2.9, 0.0, -1.0, -2.0]])
+    keys = [jax.random.PRNGKey(s) for s in range(64)]
+
+    for key in keys[:8]:
+        assert int(_sample(logits, 1.0, key, top_k=1)[0]) == 0
+        assert int(_sample(logits, 1.0, key, top_p=1e-6)[0]) == 0
+    # top-p 0.9: tokens 0 and 1 carry ~95% of the mass; exclusive-cumsum
+    # keeps exactly {0, 1}
+    seen = {int(_sample(logits, 1.0, k, top_p=0.9)[0]) for k in keys}
+    assert seen == {0, 1}
+    # top_k=3 excludes the two least likely tokens
+    seen = {int(_sample(logits, 1.0, k, top_k=3)[0]) for k in keys}
+    assert seen <= {0, 1, 2}
+    # unconstrained sampling at high temperature reaches the tail
+    seen = {int(_sample(logits, 5.0, k)[0]) for k in keys}
+    assert len(seen) >= 4
