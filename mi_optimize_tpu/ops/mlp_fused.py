@@ -44,7 +44,7 @@ def _dequant(wq, scales, zeros, group, rows, cols):
 def _kernel(x_ref, g_ref, gs_ref, gz_ref, u_ref, us_ref, uz_ref,
             dn_ref, ds_ref, dz_ref, o_ref, acc_ref,
             *, bits, k_group, i_group, ti, nk):
-    j = pl.program_id(0)
+    j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
@@ -103,6 +103,16 @@ def fused_mlp(x, g_packed, g_scales_t, g_zeros_t, u_packed, u_scales_t,
     n_tiles = inter // _TI
     ngk = K // k_group
 
+    # tile the row axis: long-prefill M (e.g. 2048 at 7B) cannot hold the
+    # whole [M, hidden] f32 accumulator + [M, K] f32 activation in VMEM
+    # (r3: S=2048 OOMed the 16MB scoped limit). Weight tiles re-stream once
+    # per row tile — acceptable for prefill, which is MXU-bound.
+    TM = M
+    for c in (512, 256, 128, 64, 32, 16, 8):
+        if M % c == 0:
+            TM = c
+            break
+
     gz = g_zeros_t.astype(jnp.float32) - float(qmin)
     uz = u_zeros_t.astype(jnp.float32) - float(qmin)
     ds_exp, dz_exp, R = _tile_expand(d_scales_t, d_zeros_t, qmin, n_tiles,
@@ -112,22 +122,24 @@ def fused_mlp(x, g_packed, g_scales_t, g_zeros_t, u_packed, u_scales_t,
                              i_group=i_group, ti=_TI, nk=n_tiles)
     out = pl.pallas_call(
         kern,
-        grid=(n_tiles,),
+        grid=(M // TM, n_tiles),
         in_specs=[
-            pl.BlockSpec((M, K), lambda j: (0, 0)),
-            pl.BlockSpec((K // vpw, _TI), lambda j: (0, j)),
-            pl.BlockSpec((ngk, _TI), lambda j: (0, j)),
-            pl.BlockSpec((ngk, _TI), lambda j: (0, j)),
-            pl.BlockSpec((K // vpw, _TI), lambda j: (0, j)),
-            pl.BlockSpec((ngk, _TI), lambda j: (0, j)),
-            pl.BlockSpec((ngk, _TI), lambda j: (0, j)),
-            pl.BlockSpec((_TI // vpw, hidden), lambda j: (j, 0)),
-            pl.BlockSpec((R, hidden), lambda j: (j, 0)),
-            pl.BlockSpec((R, hidden), lambda j: (j, 0)),
+            pl.BlockSpec((TM, K), lambda m, j: (m, 0)),
+            pl.BlockSpec((K // vpw, _TI), lambda m, j: (0, j)),
+            pl.BlockSpec((ngk, _TI), lambda m, j: (0, j)),
+            pl.BlockSpec((ngk, _TI), lambda m, j: (0, j)),
+            pl.BlockSpec((K // vpw, _TI), lambda m, j: (0, j)),
+            pl.BlockSpec((ngk, _TI), lambda m, j: (0, j)),
+            pl.BlockSpec((ngk, _TI), lambda m, j: (0, j)),
+            pl.BlockSpec((_TI // vpw, hidden), lambda m, j: (j, 0)),
+            pl.BlockSpec((R, hidden), lambda m, j: (j, 0)),
+            pl.BlockSpec((R, hidden), lambda m, j: (j, 0)),
         ],
-        out_specs=pl.BlockSpec((M, hidden), lambda j: (0, 0)),
+        out_specs=pl.BlockSpec((TM, hidden), lambda m, j: (m, 0)),
         out_shape=jax.ShapeDtypeStruct((M, hidden), x.dtype),
-        scratch_shapes=[pltpu.VMEM((M, hidden), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((TM, hidden), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, g_packed, g_scales_t.astype(jnp.float32), gz,
       u_packed, u_scales_t.astype(jnp.float32), uz,

@@ -116,12 +116,14 @@ def test_fused_mlp_matches_separate(rng):
     blk = qm.params["layers"][0]
     gate, up, down = blk["gate_proj"], blk["up_proj"], blk["down_proj"]
     assert mlp_supported(gate, up, down, cfg.hidden_size, cfg.intermediate_size)
-    x = jnp.asarray(rng.normal(size=(1, 3, 128)).astype(np.float32))
-    y_fused = np.asarray(mlp_apply_fused(x, gate, up, down, cfg))
-    g = quant_linear_apply(gate, x, fused=False)
-    u = quant_linear_apply(up, x, fused=False)
-    y_ref = np.asarray(quant_linear_apply(down, jax.nn.silu(g) * u, fused=False))
-    np.testing.assert_allclose(y_fused, y_ref, rtol=2e-4, atol=2e-4)
+    for rows in (3, 280):  # 280 -> M=280 pads to 288 -> TM=32, 9 row tiles
+        x = jnp.asarray(rng.normal(size=(1, rows, 128)).astype(np.float32))
+        y_fused = np.asarray(mlp_apply_fused(x, gate, up, down, cfg))
+        g = quant_linear_apply(gate, x, fused=False)
+        u = quant_linear_apply(up, x, fused=False)
+        y_ref = np.asarray(quant_linear_apply(down, jax.nn.silu(g) * u,
+                                              fused=False))
+        np.testing.assert_allclose(y_fused, y_ref, rtol=2e-4, atol=2e-4)
 
 
 # ---------------------------------------------------------------------------
