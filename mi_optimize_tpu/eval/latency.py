@@ -94,10 +94,36 @@ def decode_throughput(model: Model, batch=1, prompt_len=128, decode_tokens=64,
     }
     if fused and jax.devices()[0].platform != "cpu" and batch == 1 \
             and cache_dtype == jnp.int8:
-        kb = kernel_breakdown(model, tok, pos0, cache, step_s,
-                              n=decode_tokens)
-        if kb is not None:
-            out["kernels"] = kb
+        # the loop above timed the PER-LAYER path; the breakdown's glue/
+        # pct_of_step must be computed against the megakernel serving path's
+        # own step time (r3 code review: passing step_s here misattributed
+        # the per-layer-vs-megakernel gap as lm_head glue)
+        from ..serving.megadecode import (
+            decode_loop_model, stack_cache, stack_serving)
+
+        st = stack_serving(model)
+        if st is not None:
+            stack, meta = st
+            scache = stack_cache(cache)
+
+            def mega_loop():
+                toks, _c = decode_loop_model(model.params, stack, meta, cfg,
+                                             tok, scache, pos0, decode_tokens)
+                _ = int(np.asarray(toks).reshape(-1)[-1])
+
+            mega_loop()
+            t0 = time.perf_counter()
+            mega_loop()
+            mega_step_s = (time.perf_counter() - t0) / decode_tokens
+            out["megakernel_path"] = {
+                "tokens_per_s_per_chip": 1.0 / mega_step_s,
+                "step_ms": mega_step_s * 1e3,
+                "roofline_frac": sol_step_s / mega_step_s,
+            }
+            kb = kernel_breakdown(model, tok, pos0, scache, mega_step_s,
+                                  n=decode_tokens, stack_meta=st)
+            if kb is not None:
+                out["kernels"] = kb
     return out
 
 

@@ -149,13 +149,21 @@ class ContinuousBatcher:
         self._next_rid = 0
 
     # ------------------------------------------------------------------
+    def _admission_headroom(self) -> int:
+        """Cache rows a step may touch beyond the emitted token (subclasses
+        with overshoot writes — speculative drafting — need more)."""
+        return 1
+
     def add_request(self, prompt, max_new_tokens=32, eos_token_id=None) -> Optional[int]:
         """Prefill into a free slot; returns request id or None if full."""
         try:
             slot = self.slot_req.index(None)
         except ValueError:
             return None
-        prompt = np.asarray(prompt).reshape(-1)[-(self.max_len - max_new_tokens - 1):]
+        # max(..., 1): a degenerate max_new_tokens >= max_len must still trim
+        # from the tail, not keep the whole prompt ([-0:] is the full array)
+        keep = max(self.max_len - max_new_tokens - self._admission_headroom(), 1)
+        prompt = np.asarray(prompt).reshape(-1)[-keep:]
         req = Request(self._next_rid, prompt, max_new_tokens, eos_token_id)
         self._next_rid += 1
 
@@ -279,7 +287,11 @@ class SpeculativeBatcher(ContinuousBatcher):
     slots' k+1-token chunks in ONE target forward
     (engine.prefill_chunk_batched, per-slot positions) — each slot advances
     1..k+1 tokens per step. Greedy spec-dec is exact, so emitted sequences
-    equal the plain batcher's (tests/test_spec_batched.py).
+    equal the plain batcher's (tests/test_spec_batched.py) — up to the
+    capacity boundary: a spec round needs 2k+2 rows of write headroom, so
+    slots retire (and admission trims prompts) 2k+1 tokens earlier than the
+    plain batcher; requests that would decode into that tail emit fewer
+    tokens here.
 
     The TARGET side verifies all slots' chunks in ONE whole-model launch when
     the chunk megakernel is available (megadecode.model_step_chunk_batch —
@@ -314,6 +326,12 @@ class SpeculativeBatcher(ContinuousBatcher):
         self.rounds = 0
         self.proposed = 0
         self.accepted = 0
+
+    def _admission_headroom(self) -> int:
+        # a spec round writes up to pos + 2k rows (draft ingest overshoot);
+        # admission must leave that room so the step()-time position clamp
+        # never moves a live slot (r3 code review)
+        return 2 * self.k + 2
 
     def add_request(self, prompt, max_new_tokens=32, eos_token_id=None):
         try:

@@ -177,7 +177,9 @@ def _sample(logits, temperature, key, top_p=1.0, top_k=0):
         # exclusive cumulative mass: keep every token whose predecessors'
         # mass is < top_p (always keeps the most likely token)
         cum = jnp.cumsum(probs, axis=-1) - probs
-        keep = cum < top_p
+        # always keep the most likely token (top_p <= 0 degrades to greedy
+        # rather than an all--inf degenerate row)
+        keep = (cum < top_p).at[..., 0].set(True)
         cutoff = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1,
                          keepdims=True)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)

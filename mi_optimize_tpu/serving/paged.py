@@ -194,8 +194,8 @@ class PagedMegaBatcher:
             slot = self.slot_req.index(None)
         except ValueError:
             return None
-        prompt = np.asarray(prompt).reshape(-1)[
-            -(self.max_len - max_new_tokens - 1):]
+        keep = max(self.max_len - max_new_tokens - 1, 1)
+        prompt = np.asarray(prompt).reshape(-1)[-keep:]
         S = len(prompt)
         P = self.page_size
         npg = S // P + 1               # covers positions 0..S (first decode row)

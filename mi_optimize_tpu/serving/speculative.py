@@ -34,23 +34,21 @@ from ..models.model import Model
 from .engine import decode_loop, decode_step, init_cache, prefill, prefill_chunk
 
 
-@partial(jax.jit, static_argnames=("tcfg", "dcfg", "k", "n", "fused"))
-def _spec_loop(tparams, dparams, tcfg, dcfg, tcache, dcache, last_tok, pos0,
-               k, n, fused=True):
-    """The whole propose->verify->accept loop as ONE on-device dispatch.
+def _spec_while(draft_fn, verify_fn, tcache, dcache, last_tok, pos0, k, n):
+    """The propose->verify->accept while_loop shared by every spec variant.
 
-    Round 1 ran this on the host with `int(np.asarray(...))` pulls per round —
-    at this environment's ~2.9ms dispatch latency the k=4 loop overhead could
-    eat the speedup (VERDICT r1 weak #6). Here a lax.while_loop carries
-    (out_buf, n_out, pos, last, caches, counters); every round costs one draft
-    decode_loop (k cached steps), one extra draft ingest step, and one target
-    prefill_chunk — no host round-trips.
+    draft_fn(last, dcache, pos) -> (props [k], dcache with all k+1 rows
+    ingested); verify_fn(chunk [1, k+1], tcache, pos) -> (ver [k+1], tcache).
+    The variants differ ONLY in which kernels those two closures run
+    (per-layer / decode megakernel / chunk megakernel) — one accept/emit/
+    state implementation serves all (r3 code review: the logic was
+    triplicated before).
 
-    Rollback safety: the unconditional extra draft step writes a KV row at
-    pos+k that is garbage when n_accept < k, but rows beyond the verified
-    prefix are positionally masked (never attended at earlier positions) and
-    overwritten before the position becomes live — same invariant the chunk
-    verify relies on for the target cache.
+    Rollback safety: draft ingest writes a KV row at pos+k that is garbage
+    when n_accept < k, but rows beyond the verified prefix are positionally
+    masked (never attended at earlier positions) and overwritten before the
+    position becomes live — the same invariant the chunk verify relies on
+    for the target cache.
     """
     BUF = n + k + 1
 
@@ -59,15 +57,9 @@ def _spec_loop(tparams, dparams, tcfg, dcfg, tcache, dcache, last_tok, pos0,
 
     def body(st):
         out, n_out, pos, last, tc, dc, rounds, acc, prop = st
-        props, dc = decode_loop(dparams, dcfg, last[None, None], dc, pos, k,
-                                fused)
-        props = props[0]  # [k]
-        # unconditional ingest of p_{k-1} (see docstring for rollback safety)
-        _, dc = decode_step(dparams, dcfg, props[k - 1][None, None], dc,
-                            pos + k, fused)
+        props, dc = draft_fn(last, dc, pos)                 # [k]
         chunk = jnp.concatenate([last[None], props])[None]  # [1, k+1]
-        vlogits, tc = prefill_chunk(tparams, tcfg, chunk, tc, pos, fused)
-        ver = jnp.argmax(vlogits[0], -1).astype(props.dtype)  # [k+1]
+        ver, tc = verify_fn(chunk, tc, pos)                 # [k+1]
         match = ver[:k] == props
         n_accept = jnp.where(match.all(), k,
                              jnp.argmin(match.astype(jnp.int32)))
@@ -85,6 +77,57 @@ def _spec_loop(tparams, dparams, tcfg, dcfg, tcache, dcache, last_tok, pos0,
     out, n_out, pos, last, tc, dc, rounds, acc, prop = jax.lax.while_loop(
         cond, body, st)
     return out[:n], rounds, acc, prop
+
+
+def _mega_draft_fn(dparams, dstack, dmeta, dcfg, k, interpret):
+    """k megakernel draft steps + the unconditional p_{k-1} ingest."""
+    from .megadecode import _model_step
+
+    def draft_fn(last, dc, pos):
+        def dstep(carry, _):
+            tok, c, p = carry
+            logits, c = _model_step(dparams, dstack, dmeta, dcfg, tok, c, p,
+                                    interpret)
+            nt = jnp.argmax(logits, -1).astype(tok.dtype)[:, None]
+            return (nt, c, p + 1), nt[0, 0]
+
+        (lastk, dc, _), props = jax.lax.scan(
+            dstep, (last[None, None], dc, pos), None, length=k)
+        _, dc = _model_step(dparams, dstack, dmeta, dcfg, lastk, dc, pos + k,
+                            interpret)
+        return props, dc
+
+    return draft_fn
+
+
+@partial(jax.jit, static_argnames=("tcfg", "dcfg", "k", "n", "fused"))
+def _spec_loop(tparams, dparams, tcfg, dcfg, tcache, dcache, last_tok, pos0,
+               k, n, fused=True):
+    """The whole propose->verify->accept loop as ONE on-device dispatch
+    (per-layer draft + per-layer chunk verify).
+
+    Round 1 ran this on the host with `int(np.asarray(...))` pulls per round —
+    at this environment's ~2.9ms dispatch latency the k=4 loop overhead could
+    eat the speedup (VERDICT r1 weak #6). Here a lax.while_loop carries
+    (out_buf, n_out, pos, last, caches, counters); every round costs one draft
+    decode_loop (k cached steps), one extra draft ingest step, and one target
+    prefill_chunk — no host round-trips.
+    """
+    def draft_fn(last, dc, pos):
+        props, dc = decode_loop(dparams, dcfg, last[None, None], dc, pos, k,
+                                fused)
+        props = props[0]
+        # unconditional ingest of p_{k-1} (see _spec_while for rollback safety)
+        _, dc = decode_step(dparams, dcfg, props[k - 1][None, None], dc,
+                            pos + k, fused)
+        return props, dc
+
+    def verify_fn(chunk, tc, pos):
+        vlogits, tc = prefill_chunk(tparams, tcfg, chunk, tc, pos, fused)
+        return jnp.argmax(vlogits[0], -1).astype(jnp.int32), tc
+
+    return _spec_while(draft_fn, verify_fn, tcache, dcache, last_tok, pos0,
+                       k, n)
 
 
 @partial(jax.jit, static_argnames=("tcfg", "dcfg", "dmeta", "k", "n", "fused",
@@ -99,48 +142,13 @@ def _spec_loop_mega(tparams, dparams, dstack, dmeta, tcfg, dcfg, tcache, dcache,
     dcache: STACKED megakernel cache ({"k": [L,T,Hkv,D] int8, ...}); the
     target side (chunk verify) is unchanged.
     """
-    from .megadecode import _model_step
-
-    BUF = n + k + 1
-
-    def cond(st):
-        return st[1] < n
-
-    def body(st):
-        out, n_out, pos, last, tc, dc, rounds, acc, prop = st
-
-        def dstep(carry, _):
-            tok, c, p = carry
-            logits, c = _model_step(dparams, dstack, dmeta, dcfg, tok, c, p,
-                                    interpret)
-            nt = jnp.argmax(logits, -1).astype(tok.dtype)[:, None]
-            return (nt, c, p + 1), nt[0, 0]
-
-        (lastk, dc, _), props = jax.lax.scan(
-            dstep, (last[None, None], dc, pos), None, length=k)
-        # unconditional ingest of p_{k-1} (rollback safety: see _spec_loop)
-        _, dc = _model_step(dparams, dstack, dmeta, dcfg, lastk, dc, pos + k,
-                            interpret)
-        chunk = jnp.concatenate([last[None], props])[None]  # [1, k+1]
+    def verify_fn(chunk, tc, pos):
         vlogits, tc = prefill_chunk(tparams, tcfg, chunk, tc, pos, fused)
-        ver = jnp.argmax(vlogits[0], -1).astype(props.dtype)
-        match = ver[:k] == props
-        n_accept = jnp.where(match.all(), k,
-                             jnp.argmin(match.astype(jnp.int32)))
-        bonus = ver[n_accept]
-        lane = jnp.arange(k + 1)
-        emit = jnp.where(lane < n_accept, jnp.append(props, 0),
-                         jnp.where(lane == n_accept, bonus, 0)).astype(out.dtype)
-        out = jax.lax.dynamic_update_slice(out, emit, (n_out,))
-        return (out, n_out + n_accept + 1, pos + n_accept + 1, bonus,
-                tc, dc, rounds + 1, acc + n_accept, prop + k)
+        return jnp.argmax(vlogits[0], -1).astype(jnp.int32), tc
 
-    out0 = jnp.zeros((BUF,), jnp.int32)
-    st = (out0, jnp.asarray(0), jnp.asarray(pos0), last_tok.astype(jnp.int32),
-          tcache, dcache, jnp.asarray(0), jnp.asarray(0), jnp.asarray(0))
-    out, n_out, pos, last, tc, dc, rounds, acc, prop = jax.lax.while_loop(
-        cond, body, st)
-    return out[:n], rounds, acc, prop
+    return _spec_while(_mega_draft_fn(dparams, dstack, dmeta, dcfg, k,
+                                      interpret),
+                       verify_fn, tcache, dcache, last_tok, pos0, k, n)
 
 
 @partial(jax.jit, static_argnames=("tcfg", "dcfg", "tmeta", "dmeta", "k", "n",
@@ -156,49 +164,16 @@ def _spec_loop_mega_full(tparams, dparams, tstack, dstack, tmeta, dmeta,
     against the 148 tok/s megakernel baseline; the chunk kernel removes that.
 
     tcache: 1-slot batched stacked layout; dcache: single-stream stacked."""
-    from .megadecode import _model_step, model_step_chunk
+    from .megadecode import model_step_chunk
 
-    BUF = n + k + 1
-
-    def cond(st):
-        return st[1] < n
-
-    def body(st):
-        out, n_out, pos, last, tc, dc, rounds, acc, prop = st
-
-        def dstep(carry, _):
-            tok, c, p = carry
-            logits, c = _model_step(dparams, dstack, dmeta, dcfg, tok, c, p,
-                                    interpret)
-            nt = jnp.argmax(logits, -1).astype(tok.dtype)[:, None]
-            return (nt, c, p + 1), nt[0, 0]
-
-        (lastk, dc, _), props = jax.lax.scan(
-            dstep, (last[None, None], dc, pos), None, length=k)
-        # unconditional ingest of p_{k-1} (rollback safety: see _spec_loop)
-        _, dc = _model_step(dparams, dstack, dmeta, dcfg, lastk, dc, pos + k,
-                            interpret)
-        chunk = jnp.concatenate([last[None], props])[None]  # [1, k+1]
+    def verify_fn(chunk, tc, pos):
         vlogits, tc = model_step_chunk(tparams, tstack, tmeta, tcfg, chunk,
                                        tc, pos, interpret)
-        ver = jnp.argmax(vlogits, -1).astype(props.dtype)   # [k+1]
-        match = ver[:k] == props
-        n_accept = jnp.where(match.all(), k,
-                             jnp.argmin(match.astype(jnp.int32)))
-        bonus = ver[n_accept]
-        lane = jnp.arange(k + 1)
-        emit = jnp.where(lane < n_accept, jnp.append(props, 0),
-                         jnp.where(lane == n_accept, bonus, 0)).astype(out.dtype)
-        out = jax.lax.dynamic_update_slice(out, emit, (n_out,))
-        return (out, n_out + n_accept + 1, pos + n_accept + 1, bonus,
-                tc, dc, rounds + 1, acc + n_accept, prop + k)
+        return jnp.argmax(vlogits, -1).astype(jnp.int32), tc
 
-    out0 = jnp.zeros((BUF,), jnp.int32)
-    st = (out0, jnp.asarray(0), jnp.asarray(pos0), last_tok.astype(jnp.int32),
-          tcache, dcache, jnp.asarray(0), jnp.asarray(0), jnp.asarray(0))
-    out, n_out, pos, last, tc, dc, rounds, acc, prop = jax.lax.while_loop(
-        cond, body, st)
-    return out[:n], rounds, acc, prop
+    return _spec_while(_mega_draft_fn(dparams, dstack, dmeta, dcfg, k,
+                                      interpret),
+                       verify_fn, tcache, dcache, last_tok, pos0, k, n)
 
 
 def speculative_generate(
