@@ -13,7 +13,11 @@ BENCH_DETAILS.md for measured aggregate tokens/s).
 
 Optionally `--speculative --draft-model draft_ckpt/` serves single requests
 through the on-device speculative-decoding loop instead (the draft can be the
-same checkpoint quantized at a lower bit width).
+same checkpoint quantized at a lower bit width); with `--slots > 1` it runs
+SpeculativeBatcher (spec-dec composed with continuous batching, chunk-
+megakernel verify). `--paged --page-size 128 --pages N` serves over the
+shared KV page pool (memory scales with tokens in flight, not
+slots x max_len).
 """
 import argparse
 import time
@@ -40,11 +44,40 @@ def main():
                     help="checkpoint for the spec-dec draft (e.g. int2 RTN of "
                          "the same model)")
     ap.add_argument("--k", type=int, default=4, help="spec-dec proposal length")
+    ap.add_argument("--paged", action="store_true",
+                    help="serve over the shared KV page pool "
+                         "(PagedMegaBatcher)")
+    ap.add_argument("--page-size", type=int, default=128)
+    ap.add_argument("--pages", type=int, default=0,
+                    help="pool size (0 = full capacity)")
     args = ap.parse_args()
 
     model = load_model(args.quantized_model)
     tokenizer = get_tokenizer(args.tokenizer_path)
     prompts = [p.strip() for p in open(args.prompts) if p.strip()]
+
+    if args.speculative and args.slots > 1:
+        # spec-dec composed with continuous batching: batched draft + one
+        # whole-model chunk-verify launch for all slots per round
+        from mi_optimize_tpu.serving.batching import SpeculativeBatcher
+        from mi_optimize_tpu.serving.optimize import fuse_for_serving
+
+        model = fuse_for_serving(model)
+        draft = (fuse_for_serving(load_model(args.draft_model))
+                 if args.draft_model else model)
+        sb = SpeculativeBatcher(model, draft, k=args.k, n_slots=args.slots,
+                                max_len=args.max_len, cache_dtype=jnp.int8)
+        t0 = time.time()
+        results = sb.run_all([tokenizer(p)["input_ids"] for p in prompts],
+                             max_new_tokens=args.max_new_tokens)
+        dt = time.time() - t0
+        n_tokens = sum(len(t) for t in results.values())
+        for rid in sorted(results):
+            print(f"--- [{rid}]")
+            print(tokenizer.decode(results[rid]))
+        print(f"[{n_tokens} tokens in {dt:.2f}s = {n_tokens/dt:.1f} tok/s "
+              f"aggregate, accept={sb.accepted/max(sb.proposed,1):.2f}]")
+        return
 
     if args.speculative:
         from mi_optimize_tpu.serving.speculative import speculative_generate
@@ -66,8 +99,17 @@ def main():
     from mi_optimize_tpu.serving.optimize import fuse_for_serving
 
     model = fuse_for_serving(model)
-    batcher = ContinuousBatcher(model, n_slots=args.slots,
-                                max_len=args.max_len, cache_dtype=jnp.int8)
+    if args.paged:
+        from mi_optimize_tpu.serving.paged import PagedMegaBatcher
+
+        batcher = PagedMegaBatcher(model, n_slots=args.slots,
+                                   max_len=args.max_len,
+                                   page_size=args.page_size,
+                                   n_pages=args.pages or None)
+    else:
+        batcher = ContinuousBatcher(model, n_slots=args.slots,
+                                    max_len=args.max_len,
+                                    cache_dtype=jnp.int8)
     pending = list(enumerate(prompts))
     reqs = {}  # prompt index -> Request (retains its tokens after completion)
     t0 = time.time()
