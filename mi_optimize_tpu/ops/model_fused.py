@@ -994,8 +994,11 @@ def model_decode_mega_batch(stack, x, cos, sin, cache, positions, cfg, meta,
 
     table (optional): PAGED mode (round 3, VERDICT item 8) — cache arrays are
     a shared page POOL {"k": [L, n_pages, Hkv, P, D] int8, ...} and
-    table [B, pps] int32 maps each slot's t-th flash block to its pool page
-    (page size P = the flash block). The table rides scalar prefetch next to
+    table [B//chunk, pps] int32 maps each slot's t-th flash block to its pool
+    page (page size P = the flash block). Composes with chunk>1: paged chunk
+    verify, i.e. speculative decoding under page-pool memory management
+    (serving/paged.PagedSpeculativeBatcher). The table rides scalar prefetch
+    next to
     positions; the ONLY change vs dense is the KV BlockSpec index maps
     looking up `table[b, t]` — the kernel body is identical, and the
     live-prefix clamp keeps unallocated pages from ever being fetched
@@ -1026,10 +1029,14 @@ def model_decode_mega_batch(stack, x, cos, sin, cache, positions, cfg, meta,
     to_ = _pick_tile(q_dim) or q_dim
     nq, no, ni = h // tka, q_dim // to_, inter_p // ti
     if chunk > 1:
-        assert tp == 1 and table is None
+        assert tp == 1
         assert B % chunk == 0
-        assert cache["k"].shape[1] == B // chunk, \
-            "chunk mode: one cache slot per C rows"
+        if table is None:
+            assert cache["k"].shape[1] == B // chunk, \
+                "chunk mode: one cache slot per C rows"
+        else:
+            assert table.shape[0] == B // chunk, \
+                "paged chunk mode: one table row per C rows"
     if table is not None:
         assert tp == 1, "paged cache does not compose with in-kernel TP yet"
         tb = cache["k"].shape[3]            # page size == flash block
@@ -1082,13 +1089,25 @@ def model_decode_mega_batch(stack, x, cos, sin, cache, positions, cfg, meta,
             t_all = jnp.clip(j - (nq + 1), 0, ntB - 1)
             return t_all // (C * nt), (t_all % (C * nt)) // C
 
-        def kv_map(l, j, p):
-            s0, t = _st(j)
-            return (l, s0, 0, jnp.minimum(t, p[s0 * C] // tb), 0)
+        if table is None:
+            def kv_map(l, j, p):
+                s0, t = _st(j)
+                return (l, s0, 0, jnp.minimum(t, p[s0 * C] // tb), 0)
 
-        def kvs_map(l, j, p):
-            s0, t = _st(j)
-            return (l, s0, 0, jnp.minimum(t, p[s0 * C] // tb))
+            def kvs_map(l, j, p):
+                s0, t = _st(j)
+                return (l, s0, 0, jnp.minimum(t, p[s0 * C] // tb))
+        else:
+            # paged chunk verify (round 3 "serving composition leftovers"):
+            # slot s0's t-th shared-history block lives in pool page
+            # table[s0, t]; same live-prefix clamp as the dense chunk mode
+            def kv_map(l, j, p, tbl):
+                s0, t = _st(j)
+                return (l, tbl[s0, jnp.minimum(t, p[s0 * C] // tb)], 0, 0, 0)
+
+            def kvs_map(l, j, p, tbl):
+                s0, t = _st(j)
+                return (l, tbl[s0, jnp.minimum(t, p[s0 * C] // tb)], 0, 0)
     elif table is None:
         def kv_map(l, j, p):
             b, t = bt(j)

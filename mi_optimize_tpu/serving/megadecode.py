@@ -337,6 +337,40 @@ def model_step_chunk_batch(params, stack, meta, cfg, tokens, cache, prefixes,
 
 
 @partial(jax.jit, static_argnames=("cfg", "meta", "interpret"))
+def model_step_chunk_batch_paged(params, stack, meta, cfg, tokens, pool,
+                                 table, prefixes, interpret=False):
+    """B-slot chunk verify over the shared KV page POOL (round 3 serving
+    composition): model_step_chunk_batch with the per-slot caches replaced by
+    pool pages reached through `table` [B, pps] — speculative decoding's
+    batched verify primitive under page-pool memory management. tokens
+    [B, C]; each slot's C rows scatter into (page, offset) via its table row
+    (the scheduler must have pages allocated through position prefix+C-1).
+    Returns (logits [B, C, V], pool)."""
+    from ..ops.model_fused import model_decode_mega_batch
+
+    B, C = tokens.shape
+    h = cfg.hidden_size
+    x = llama.embed(params, tokens).reshape(B * C, 1, h)
+    positions = (prefixes[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :]
+                 ).reshape(B * C)
+    cos, sin = llama.rope_tables(cfg, positions[:, None])
+    xo, krows, vrows, ksr, vsr = model_decode_mega_batch(
+        stack, x, cos.reshape(B * C, -1)[:, -cfg.head_dim:],
+        sin.reshape(B * C, -1)[:, -cfg.head_dim:],
+        pool, positions, cfg, meta, interpret=interpret, chunk=C, table=table)
+    krows, vrows, ksr, vsr = jax.lax.optimization_barrier(
+        (krows, vrows, ksr, vsr))
+    # rows are slot-major [L, B*C, ...]; each row's (page, offset) comes from
+    # its slot's table row at its own position — _scatter_rows_paged over the
+    # flattened B*C "virtual slots"
+    pool = _scatter_rows_paged(pool, krows, vrows, ksr, vsr,
+                               jnp.repeat(table, C, axis=0), positions)
+    hh = llama.rms_norm(xo.reshape(B, C, h), params["final_norm"], cfg.rms_eps)
+    logits = llama.unembed(params, cfg, hh, fused=not interpret)
+    return logits, pool
+
+
+@partial(jax.jit, static_argnames=("cfg", "meta", "interpret"))
 def model_step_batch_paged(params, stack, meta, cfg, tokens, pool, table,
                            positions, interpret=False):
     """model_step_batch over a shared KV page pool (round 3, VERDICT item 8):

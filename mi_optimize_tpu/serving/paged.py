@@ -184,6 +184,11 @@ class PagedMegaBatcher:
         self.last_token[slot] = 0
         self.slot_req[slot] = None
 
+    def _headroom(self) -> int:
+        # rows past the current position a step may write (1 for plain
+        # decode; the speculative subclass needs the 2k+2 overshoot margin)
+        return 1
+
     def add_request(self, prompt, max_new_tokens=32,
                     eos_token_id=None) -> Optional[int]:
         from .batching import Request
@@ -194,7 +199,7 @@ class PagedMegaBatcher:
             slot = self.slot_req.index(None)
         except ValueError:
             return None
-        keep = max(self.max_len - max_new_tokens - 1, 1)
+        keep = max(self.max_len - max_new_tokens - self._headroom(), 1)
         prompt = np.asarray(prompt).reshape(-1)[-keep:]
         S = len(prompt)
         P = self.page_size
@@ -279,6 +284,117 @@ class PagedMegaBatcher:
         for r in reqs:
             results[r.rid] = r.tokens
         return results
+
+
+class PagedSpeculativeBatcher(PagedMegaBatcher):
+    """Speculative decoding UNDER page-pool memory management (round 3
+    serving composition: "paged + speculative"). Each scheduler step drafts k
+    tokens per slot (batched whole-model megakernel on the draft's dense
+    cache — the draft, e.g. int2, is the small model; the TARGET KV is the
+    big allocation and lives in the shared page pool), then verifies every
+    slot's k+1-token chunk in ONE whole-model CHUNK launch reading/writing
+    THROUGH the page table (megadecode.model_step_chunk_batch_paged).
+
+    Greedy spec-dec is exact, so emitted sequences equal the plain paged
+    batcher's up to the capacity boundary (slots retire 2k+1 tokens earlier:
+    a round writes up to position prefix+k and the next round may start at
+    prefix+k+1). Page growth is lazy per round: before stepping, each active
+    slot allocates any missing pages covering prefix..prefix+k."""
+
+    def __init__(self, model: Model, draft: Model, k: int = 4,
+                 n_slots: int = 4, max_len: int = 512, page_size: int = 128,
+                 n_pages: Optional[int] = None):
+        from .engine import init_cache
+        from .megadecode import stack_cache_batched, stack_serving
+
+        super().__init__(model, n_slots, max_len, page_size, n_pages)
+        self.draft = draft
+        self.k = k
+        st = stack_serving(draft)
+        if st is None:
+            raise ValueError("draft does not satisfy the megakernel contract")
+        self._dmega = st
+        self.dcache = stack_cache_batched(
+            init_cache(draft.config, n_slots, self.max_len, jnp.int8))
+        self.rounds = 0
+        self.proposed = 0
+        self.accepted = 0
+
+    def _headroom(self) -> int:
+        return 2 * self.k + 2
+
+    def add_request(self, prompt, max_new_tokens=32, eos_token_id=None):
+        from .batching import _prefill_into_slot_mega
+
+        try:
+            slot = self.slot_req.index(None)
+        except ValueError:
+            return None
+        rid = super().add_request(prompt, max_new_tokens, eos_token_id)
+        if rid is None:
+            return None
+        ids = jnp.asarray(self.slot_req[slot].prompt[None, :])
+        _, self.dcache = _prefill_into_slot_mega(
+            self.draft.params, self.draft.config, ids, self.dcache, slot,
+            self.max_len)
+        return rid
+
+    def step(self) -> Dict[int, List[int]]:
+        """One spec round for all active slots; returns {rid: [new tokens]}."""
+        from .batching import draft_propose_batch
+        from .megadecode import model_step_chunk_batch_paged
+
+        active = [i for i, r in enumerate(self.slot_req) if r is not None]
+        if not active:
+            return {}
+        interp = jax.default_backend() != "tpu"
+        P = self.page_size
+        for i in active:  # lazy growth: this round writes rows pos..pos+k
+            for j in range(int(self.positions[i]) // P,
+                           (int(self.positions[i]) + self.k) // P + 1):
+                if self.table[i, j] == 0:
+                    pg = self._alloc(1)
+                    if pg is None:
+                        raise RuntimeError("KV page pool exhausted")
+                    self.table[i, j] = pg[0]
+        toks = jnp.asarray(self.last_token[:, None])
+        pos = jnp.asarray(self.positions.astype(np.int32))
+        dstack, dmeta = self._dmega
+        props, self.dcache = draft_propose_batch(
+            self.draft.params, dstack, dmeta, self.draft.config, toks,
+            self.dcache, pos, self.k, interpret=interp)
+        chunk = jnp.concatenate([toks.astype(props.dtype), props], axis=1)
+        stack, meta = self._mega
+        vlogits, self.pool = model_step_chunk_batch_paged(
+            self.model.params, stack, meta, self.cfg, chunk, self.pool,
+            jnp.asarray(self.table), pos, interpret=interp)
+        ver = np.argmax(np.asarray(vlogits), axis=-1)        # [B, k+1]
+        props_np = np.asarray(props)
+        self.rounds += 1
+        out: Dict[int, List[int]] = {}
+        for i in active:
+            req = self.slot_req[i]
+            match = ver[i, :self.k] == props_np[i]
+            n_acc = self.k if match.all() else int(np.argmin(match))
+            bonus = int(ver[i, n_acc])
+            emit = [int(t) for t in props_np[i][:n_acc]] + [bonus]
+            self.proposed += self.k
+            self.accepted += n_acc
+            budget = req.max_new_tokens - len(req.tokens)
+            kept = emit[:budget]
+            if req.eos_token_id is not None and req.eos_token_id in kept:
+                kept = kept[:kept.index(req.eos_token_id) + 1]
+            req.tokens.extend(kept)
+            out[req.rid] = kept
+            self.positions[i] += n_acc + 1
+            self.last_token[i] = bonus
+            done = (len(kept) < len(emit)
+                    or len(req.tokens) >= req.max_new_tokens
+                    or self.positions[i] >= self.max_len - self._headroom())
+            if done:
+                req.done = True
+                self._retire(i)
+        return out
 
 
 @dataclass
