@@ -33,6 +33,13 @@ from ..models.model import Model
 from .batching import _prefill_kv
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _copy_pool_page(pool, src, dst):
+    """Copy one pool page's content (all layers/fields) — the private tail
+    page of a parallel-sampling fork when the prompt ends mid-page."""
+    return {f: pool[f].at[:, dst].set(pool[f][:, src]) for f in pool}
+
+
 def init_paged_cache(cfg, n_pages: int, page_size: int, n_slots: int,
                      pages_per_slot: int, dtype=jnp.float32):
     """Per-layer paged KV storage + one shared page table."""
@@ -165,9 +172,13 @@ class PagedMegaBatcher:
         self.pool = init_pool_batched(self.cfg, n_pages, page_size)
         self.table = np.zeros((n_slots, self.pps), np.int32)
         self.free_pages = list(range(1, n_pages))
+        # full prompt pages are SHARED between the n forks of a parallel-
+        # sampling request (vLLM-style): refcounted, freed at zero
+        self.page_refs = np.zeros(n_pages, np.int32)
         self.positions = np.zeros(n_slots, np.int64)
         self.last_token = np.zeros(n_slots, np.int64)
         self.slot_req: List[Optional["Request"]] = [None] * n_slots
+        self.slot_sample: List[Optional[dict]] = [None] * n_slots
         self._next_rid = 0
 
     def _alloc(self, n):
@@ -175,39 +186,82 @@ class PagedMegaBatcher:
             return None
         out = self.free_pages[:n]
         del self.free_pages[:n]
+        self.page_refs[out] = 1
         return out
 
     def _retire(self, slot):
-        self.free_pages.extend(int(p) for p in self.table[slot] if p != 0)
+        for p in self.table[slot]:
+            if p != 0:
+                self.page_refs[p] -= 1
+                if self.page_refs[p] == 0:
+                    self.free_pages.append(int(p))
         self.table[slot] = 0
         self.positions[slot] = 0   # dead slot reads/writes only scratch page 0
         self.last_token[slot] = 0
         self.slot_req[slot] = None
+        self.slot_sample[slot] = None
 
     def _headroom(self) -> int:
         # rows past the current position a step may write (1 for plain
         # decode; the speculative subclass needs the 2k+2 overshoot margin)
         return 1
 
-    def add_request(self, prompt, max_new_tokens=32,
-                    eos_token_id=None) -> Optional[int]:
+    def _pick(self, slot, logits_row) -> int:
+        """Per-slot next token: greedy, or host-side temperature/top-k/top-p
+        sampling (mirrors engine._sample's truncation semantics) with the
+        slot's own deterministic rng — forks of one request diverge only by
+        their sample draws."""
+        st = self.slot_sample[slot]
+        if st is None or st["temperature"] <= 0.0:
+            return int(np.argmax(logits_row))
+        x = logits_row.astype(np.float64) / st["temperature"]
+        if st["top_k"]:
+            kth = np.sort(x)[-st["top_k"]]
+            x = np.where(x < kth, -np.inf, x)
+        p = np.exp(x - x.max())
+        p /= p.sum()
+        if st["top_p"] < 1.0:
+            order = np.argsort(-p)
+            keep = np.cumsum(p[order]) < st["top_p"]
+            keep[0] = True             # always keep the most likely token
+            mask = np.zeros(p.shape, bool)
+            mask[order[keep]] = True
+            p = np.where(mask, p, 0.0)
+            p /= p.sum()
+        return int(st["rng"].choice(p.shape[0], p=p))
+
+    def add_request(self, prompt, max_new_tokens=32, eos_token_id=None,
+                    n: int = 1, temperature: float = 0.0, top_p: float = 1.0,
+                    top_k: int = 0, seed: Optional[int] = None):
+        """Admit a request; returns its rid (or None if not admittable).
+
+        n > 1: PARALLEL SAMPLING — n forks of the prompt decode
+        independently (one prefill; the full prompt pages are shared
+        refcounted between forks, only the partial tail page is copied
+        per fork), each sampling with its own rng stream. Returns the list
+        of n rids, or None (all-or-nothing admission)."""
         from .batching import Request
         from .engine import init_cache, prefill
         from .megadecode import scatter_prefill_pages
 
-        try:
-            slot = self.slot_req.index(None)
-        except ValueError:
+        assert n >= 1
+        if n > 1 and temperature <= 0.0:
+            raise ValueError("parallel sampling (n>1) needs temperature > 0 "
+                             "(greedy forks would be identical)")
+        slots = [i for i, r in enumerate(self.slot_req) if r is None][:n]
+        if len(slots) < n:
             return None
         keep = max(self.max_len - max_new_tokens - self._headroom(), 1)
         prompt = np.asarray(prompt).reshape(-1)[-keep:]
         S = len(prompt)
         P = self.page_size
         npg = S // P + 1               # covers positions 0..S (first decode row)
-        pages = self._alloc(npg)
+        # primary takes npg pages; each fork adds one private tail page
+        pages = self._alloc(npg + (n - 1))
         if pages is None:
             return None
-        self.table[slot, :npg] = pages
+        slot = slots[0]
+        self.table[slot, :npg] = pages[:npg]
 
         # batch-1 prefill at full logical capacity (ONE compile for all
         # prompt lengths), then whole-page scatter of the first ceil(S/P)
@@ -220,14 +274,34 @@ class PagedMegaBatcher:
             self.pool, one, jnp.asarray(self.table[slot]),
             jnp.arange(self.pps) < n_slab, self.cfg)
 
-        req = Request(self._next_rid, prompt, max_new_tokens, eos_token_id)
-        self._next_rid += 1
-        tok = int(np.argmax(np.asarray(logits[0])))
-        req.tokens.append(tok)
-        self.positions[slot] = S
-        self.last_token[slot] = tok
-        self.slot_req[slot] = req
-        return req.rid
+        logits0 = np.asarray(logits[0])
+        rids = []
+        for f, s in enumerate(slots):
+            if f > 0:
+                tail = pages[npg + f - 1]
+                j0 = S // P            # index of the written-from-S-on page
+                shared = self.table[slot, :j0]
+                self.table[s, :j0] = shared
+                self.page_refs[shared] += 1
+                self.table[s, j0] = tail
+                if S % P:              # tail page holds prompt rows -> copy
+                    self.pool = _copy_pool_page(
+                        self.pool, int(self.table[slot, j0]), int(tail))
+            req = Request(self._next_rid, prompt, max_new_tokens,
+                          eos_token_id)
+            self._next_rid += 1
+            self.slot_sample[s] = None if temperature <= 0.0 else {
+                "temperature": temperature, "top_p": top_p, "top_k": top_k,
+                "rng": np.random.default_rng(
+                    None if seed is None else seed + f),
+            }
+            tok = self._pick(s, logits0)
+            req.tokens.append(tok)
+            self.positions[s] = S
+            self.last_token[s] = tok
+            self.slot_req[s] = req
+            rids.append(req.rid)
+        return rids if n > 1 else rids[0]
 
     def step(self) -> Dict[int, int]:
         from .megadecode import model_step_batch_paged
@@ -249,11 +323,11 @@ class PagedMegaBatcher:
             jnp.asarray(self.last_token[:, None]), self.pool,
             jnp.asarray(self.table), jnp.asarray(self.positions),
             interpret=jax.default_backend() != "tpu")
-        toks = np.argmax(np.asarray(logits), axis=-1)
+        logits_np = np.asarray(logits)
         out = {}
         for i in active:
             req = self.slot_req[i]
-            tok = int(toks[i])
+            tok = self._pick(i, logits_np[i])
             req.tokens.append(tok)
             out[req.rid] = tok
             self.positions[i] += 1

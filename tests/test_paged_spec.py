@@ -122,3 +122,60 @@ def test_paged_speculative_batcher_degraded_draft_exact():
     for rid in ref:
         assert got[rid] == ref[rid], f"request {rid} diverged"
     assert sb.accepted < sb.proposed
+
+
+def test_parallel_sampling_forks_share_pages_exact():
+    """n=3 parallel-sampling forks with top_k=1 (degenerate-to-greedy) must
+    each emit exactly the plain greedy sequence — validating that forks read
+    the SHARED full prompt pages and the per-fork copied tail page bit-
+    exactly — while page refcounts track the sharing."""
+    model = _mega_model(seed=22)
+    rng = np.random.default_rng(41)
+    prompt = rng.integers(0, 128, (150,))   # S=150: one full shared page +
+    new = 6                                 # a mid-page tail to copy
+
+    ref_b = PagedMegaBatcher(model, n_slots=1, max_len=256, page_size=128,
+                             n_pages=4)
+    ref = list(ref_b.run_all([prompt], max_new_tokens=new).values())[0]
+
+    pb = PagedMegaBatcher(model, n_slots=3, max_len=256, page_size=128,
+                          n_pages=8)
+    rids = pb.add_request(prompt, max_new_tokens=new, n=3, temperature=1.0,
+                          top_k=1, seed=0)
+    assert len(rids) == 3
+    # one full prompt page shared by all 3 forks; tails are private
+    shared = pb.table[0, 0]
+    assert (pb.table[:, 0] == shared).all()
+    assert pb.page_refs[shared] == 3
+    tails = pb.table[:, 1]
+    assert len(set(int(t) for t in tails)) == 3
+    reqs = [r for r in pb.slot_req if r is not None]
+    while any(r is not None for r in pb.slot_req):
+        pb.step()
+    for r in reqs:
+        assert r.tokens == ref, "fork diverged from greedy"
+    # every page recycled exactly once
+    assert sorted(pb.free_pages) == list(range(1, 8))
+    assert (pb.page_refs[1:] == 0).all()
+
+
+def test_parallel_sampling_diverges_and_is_deterministic():
+    """temperature=1 forks diverge from each other; the same seed reproduces
+    the same samples."""
+    model = _mega_model(seed=22)
+    rng = np.random.default_rng(43)
+    prompt = rng.integers(0, 128, (40,))
+
+    def run(seed):
+        pb = PagedMegaBatcher(model, n_slots=4, max_len=256, page_size=128,
+                              n_pages=12)
+        pb.add_request(prompt, max_new_tokens=6, n=4, temperature=1.0,
+                       top_p=0.95, seed=seed)
+        reqs = [r for r in pb.slot_req if r is not None]
+        while any(r is not None for r in pb.slot_req):
+            pb.step()
+        return [tuple(r.tokens) for r in reqs]
+
+    a = run(7)
+    assert len(set(a)) > 1, "all forks identical at temperature 1"
+    assert a == run(7), "same seed must reproduce"
