@@ -1038,7 +1038,10 @@ def model_decode_mega_batch(stack, x, cos, sin, cache, positions, cfg, meta,
             assert table.shape[0] == B // chunk, \
                 "paged chunk mode: one table row per C rows"
     if table is not None:
-        assert tp == 1, "paged cache does not compose with in-kernel TP yet"
+        # composes with in-kernel TP (the table only redirects KV BlockSpec
+        # fetches; the ring reduces touch o/down partials, not the cache) —
+        # the pool shards on its Hkv axis like the dense cache. chunk+tp
+        # remains excluded (asserted above via chunk>1 => tp==1).
         tb = cache["k"].shape[3]            # page size == flash block
         assert tb % 128 == 0
         nt = table.shape[1]                 # pages per slot (logical capacity)

@@ -633,3 +633,56 @@ def model_step_batch_tp(params, gstack, meta, cfg, tokens, cache, positions,
     h = llama.rms_norm(x2, params["final_norm"], cfg.rms_eps)
     logits = llama.unembed(params, cfg, h, fused=not interpret)[:, 0]
     return logits, cache
+
+
+def model_step_batch_paged_tp(params, gstack, meta, cfg, tokens, pool, table,
+                              positions, mesh, axis="model", interpret=False):
+    """Paged + in-kernel tensor parallelism (round 3 serving composition):
+    model_step_batch_tp with the per-slot dense caches replaced by the
+    shared KV page POOL. The pool shards on its head axis
+    ([L, n_pages, Hkv, P, D] with Hkv over `axis`) exactly like the dense
+    cache; the page table is replicated (every shard fetches the same pages
+    of its own head shard); the o/down ring all-reduces are untouched.
+    tokens [B,1], table [B, pps], positions [B] -> (logits [B,V], pool)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    ntp = mesh.shape[axis]
+    B = tokens.shape[0]
+    x = llama.embed(params, tokens)
+    cos, sin = llama.rope_tables(cfg, positions[:, None])
+    cosr = cos.reshape(B, -1)[:, -cfg.head_dim:]
+    sinr = sin.reshape(B, -1)[:, -cfg.head_dim:]
+
+    from ..ops.model_fused import model_decode_mega_batch
+
+    def local(xs, cs, sn, ps, tbl, st, ck, cv, ks, vs):
+        c = {"k": ck, "v": cv, "k_scale": ks, "v_scale": vs}
+        return model_decode_mega_batch(st, xs, cs, sn, c, ps, cfg, meta,
+                                       interpret=interpret, tp=ntp,
+                                       tp_axis=axis, table=tbl)
+
+    stack_specs = {k: P(*_TP_STACK_SPECS[k]) for k in gstack}
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, None, None), P(None, None), P(None, None), P(None),
+                  P(None, None), stack_specs,
+                  P(None, None, axis, None, None), P(None, None, axis, None, None),
+                  P(None, None, axis, None), P(None, None, axis, None)),
+        out_specs=(P(None, None, None),
+                   P(None, None, axis, None), P(None, None, axis, None),
+                   P(None, None, axis), P(None, None, axis)),
+        check_vma=False,
+    )
+    x2, krows, vrows, ksr, vsr = f(
+        x, cosr, sinr, jnp.asarray(positions).astype(jnp.int32),
+        jnp.asarray(table).astype(jnp.int32), gstack,
+        pool["k"], pool["v"], pool["k_scale"], pool["v_scale"])
+    krows, vrows, ksr, vsr = jax.lax.optimization_barrier(
+        (krows, vrows, ksr, vsr))
+    pool = _scatter_rows_paged(pool, krows, vrows, ksr, vsr,
+                               jnp.asarray(table),
+                               jnp.asarray(positions))
+    h = llama.rms_norm(x2, params["final_norm"], cfg.rms_eps)
+    logits = llama.unembed(params, cfg, h, fused=not interpret)[:, 0]
+    return logits, pool

@@ -101,3 +101,73 @@ def test_paged_mega_batcher_recycles_and_matches_dense():
     # all pages recycled back to the free list
     assert sorted(pb.free_pages) == list(range(1, 6))
     assert (pb.table == 0).all()
+
+
+def test_paged_tp_matches_single_device():
+    """Paged + in-kernel TP (round 3 serving composition): the page-pool
+    batched megakernel sharded over 'model' (heads + MLP intermediate, pool
+    sharded on Hkv, table replicated, in-kernel ring all-reduces) must match
+    the single-device paged step — logits and scattered (page, offset) rows.
+
+    ntp=2 only: wider interpret-mode DMA rings are prohibitively slow on CPU
+    (see test_tp_batched_megakernel_matches_single_device)."""
+    from mi_optimize_tpu.parallel import make_mesh
+    from mi_optimize_tpu.serving.megadecode import (
+        model_step_batch_paged_tp, stack_serving_tp)
+
+    model = _mega_model(seed=7)
+    cfg = model.config
+    stack, meta = stack_serving(model)
+    tp = stack_serving_tp(model, 2)
+    assert tp is not None
+    gstack, meta_tp, _ = tp
+    assert meta_tp == meta
+
+    B, P, nt = 2, 128, 2
+    T = P * nt
+    rng = np.random.default_rng(19)
+    positions = np.array([9, 140])
+    prompts = [rng.integers(0, 128, (1, int(p))) for p in positions]
+
+    cache = init_cache(cfg, B, T, jnp.int8)
+    last = np.zeros((B, 1), np.int64)
+    for b, p in enumerate(prompts):
+        one = init_cache(cfg, 1, T, jnp.int8)
+        logits, one = prefill(model.params, cfg, jnp.asarray(p), one, False)
+        last[b, 0] = int(np.argmax(np.asarray(logits[0])))
+        for c, o in zip(cache, one):
+            for f in c:
+                c[f] = c[f].at[b].set(o[f][0])
+    sc = stack_cache_batched(cache)
+
+    pool = init_pool_batched(cfg, 1 + B * nt, P)
+    table = np.zeros((B, nt), np.int32)
+    pg = 1
+    for b in range(B):
+        for t in range(nt):
+            table[b, t] = pg
+            for f in pool:
+                pool[f] = pool[f].at[:, pg].set(
+                    sc[f][:, b, :, t * P:(t + 1) * P])
+            pg += 1
+
+    ref_logits, ref_pool = model_step_batch_paged(
+        model.params, stack, meta, cfg, jnp.asarray(last), pool,
+        jnp.asarray(table), jnp.asarray(positions), interpret=True)
+
+    mesh = make_mesh(n_model=2, n_data=1)
+    tp_logits, tp_pool = model_step_batch_paged_tp(
+        model.params, gstack, meta, cfg, jnp.asarray(last), pool,
+        jnp.asarray(table), jnp.asarray(positions), mesh, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(tp_logits), np.asarray(ref_logits),
+                               rtol=2e-3, atol=2e-3)
+    for b in range(B):
+        assert (int(np.argmax(np.asarray(tp_logits)[b]))
+                == int(np.argmax(np.asarray(ref_logits)[b]))), b
+        pos = int(positions[b])
+        page, off = table[b, pos // P], pos % P
+        for f in ("k", "v"):
+            np.testing.assert_array_equal(
+                np.asarray(tp_pool[f][:, page, :, off]),
+                np.asarray(ref_pool[f][:, page, :, off]))
