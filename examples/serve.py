@@ -21,6 +21,9 @@ slots x max_len); `--paged --speculative` composes both
 (PagedSpeculativeBatcher). `--beam W` serves each prompt by beam search on
 the paged megakernel path; `--paged --n 4 --temperature 0.8` draws parallel
 samples per prompt (forks share prompt pages copy-on-write).
+`--paged --prefix-cache` deduplicates common prompt prefixes across requests
+(vLLM-style automatic prefix caching: hit pages are shared refcounted, only
+the uncached suffix prefills — through the paged chunk megakernel).
 """
 import argparse
 import time
@@ -51,6 +54,10 @@ def main():
                     help="serve over the shared KV page pool "
                          "(PagedMegaBatcher)")
     ap.add_argument("--page-size", type=int, default=128)
+    ap.add_argument("--prefix-cache", action="store_true",
+                    help="automatic prefix caching on the paged path: full "
+                         "prompt pages are deduplicated across requests "
+                         "(shared refcounted pages, suffix-only prefill)")
     ap.add_argument("--pages", type=int, default=0,
                     help="pool size (0 = full capacity)")
     ap.add_argument("--beam", type=int, default=0,
@@ -164,7 +171,8 @@ def main():
         batcher = PagedMegaBatcher(model, n_slots=args.slots,
                                    max_len=args.max_len,
                                    page_size=args.page_size,
-                                   n_pages=args.pages or None)
+                                   n_pages=args.pages or None,
+                                   prefix_cache=args.prefix_cache)
     else:
         batcher = ContinuousBatcher(model, n_slots=args.slots,
                                     max_len=args.max_len,
@@ -200,6 +208,8 @@ def main():
     print(f"[{len(prompts)} requests, {n_tokens} tokens in {dt:.2f}s "
           f"= {n_tokens/max(dt, 1e-9):.1f} tok/s aggregate over "
           f"{args.slots} slots]")
+    if args.prefix_cache:
+        print(f"[prefix cache: {batcher.prefix_cache_stats()}]")
 
 
 if __name__ == "__main__":

@@ -150,10 +150,31 @@ class PagedMegaBatcher:
     n_slots * max_len/P; `add_request` returns None when the pool can't cover
     the prompt, and `step` raises if lazy growth finds the pool exhausted
     (admission control should leave 1 page/slot headroom).
+
+    prefix_cache=True enables AUTOMATIC PREFIX CACHING (vLLM-style): every
+    full prompt page is registered under a chain hash of all tokens through
+    its end; a later request whose prompt starts with a cached chain maps
+    those pages directly (refcount++, zero prefill compute for the hit run)
+    and only its uncached suffix runs — through the paged whole-model CHUNK
+    megakernel (megadecode.model_step_chunk_batch_paged), attending to the
+    hit pages through the page table. Pages whose refcount drops to zero stay
+    resident on an LRU list and are evicted (freed + deregistered) only under
+    allocator pressure, so the cache costs no pool capacity.
+
+    Numerics: hit pages hold byte-identical KV (same tokens, same absolute
+    positions), so cached-vs-uncached agreement is exact up to the suffix
+    path: the chunk megakernel's bf16 MXU passes differ from the dense
+    prefill's in the last few ULPs — bit-exact in interpret mode
+    (tests/test_prefix_cache.py), while on hardware a near-tie greedy argmax
+    on a RANDOM-INIT model can flip (measured max rel logit diff ~1.7e-2 at
+    tiny scale — the same property as the spec-dec verify path,
+    BENCH_DETAILS.md; real checkpoints have logit margins that dwarf bf16
+    noise).
     """
 
     def __init__(self, model: Model, n_slots: int = 4, max_len: int = 512,
-                 page_size: int = 128, n_pages: Optional[int] = None):
+                 page_size: int = 128, n_pages: Optional[int] = None,
+                 prefix_cache: bool = False):
         from .megadecode import init_pool_batched, stack_serving
 
         assert max_len % page_size == 0 and page_size % 128 == 0
@@ -180,21 +201,60 @@ class PagedMegaBatcher:
         self.slot_req: List[Optional["Request"]] = [None] * n_slots
         self.slot_sample: List[Optional[dict]] = [None] * n_slots
         self._next_rid = 0
+        # --- automatic prefix cache state (all host-side) ---
+        self._pc = prefix_cache
+        self._pc_key2page: Dict[int, int] = {}   # chain hash -> pool page
+        self._pc_page2key: Dict[int, int] = {}   # inverse (registered pages)
+        self._pc_lru: Dict[int, None] = {}       # refcount-0 cached pages, LRU
+        self.pc_hit_tokens = 0
+        self.pc_miss_tokens = 0
 
     def _alloc(self, n):
-        if len(self.free_pages) < n:
+        if len(self.free_pages) + len(self._pc_lru) < n:
             return None
+        while len(self.free_pages) < n:  # evict coldest cached pages
+            pg = next(iter(self._pc_lru))
+            del self._pc_lru[pg]
+            del self._pc_key2page[self._pc_page2key.pop(pg)]
+            self.free_pages.append(pg)
         out = self.free_pages[:n]
         del self.free_pages[:n]
         self.page_refs[out] = 1
         return out
+
+    def _ref_cached(self, page: int):
+        """Take a reference on a prefix-cache hit page (possibly reviving it
+        off the refcount-0 LRU list)."""
+        if self.page_refs[page] == 0:
+            self._pc_lru.pop(page, None)
+        self.page_refs[page] += 1
+
+    def _page_keys(self, prompt) -> List[int]:
+        """Chain hash per full page: key[j] covers tokens [0, (j+1)*P) — a
+        page is only reusable when its ENTIRE prefix matches."""
+        P = self.page_size
+        keys, h = [], 0
+        arr = np.asarray(prompt, np.int64)
+        for j in range(len(arr) // P):
+            h = hash((h, arr[j * P:(j + 1) * P].tobytes()))
+            keys.append(h)
+        return keys
+
+    def prefix_cache_stats(self) -> Dict[str, int]:
+        return {"hit_tokens": self.pc_hit_tokens,
+                "miss_tokens": self.pc_miss_tokens,
+                "cached_pages": len(self._pc_key2page),
+                "evictable_pages": len(self._pc_lru)}
 
     def _retire(self, slot):
         for p in self.table[slot]:
             if p != 0:
                 self.page_refs[p] -= 1
                 if self.page_refs[p] == 0:
-                    self.free_pages.append(int(p))
+                    if int(p) in self._pc_page2key:  # stay resident, evictable
+                        self._pc_lru[int(p)] = None
+                    else:
+                        self.free_pages.append(int(p))
         self.table[slot] = 0
         self.positions[slot] = 0   # dead slot reads/writes only scratch page 0
         self.last_token[slot] = 0
@@ -205,6 +265,13 @@ class PagedMegaBatcher:
         # rows past the current position a step may write (1 for plain
         # decode; the speculative subclass needs the 2k+2 overshoot margin)
         return 1
+
+    def _pc_chunk_quantum(self) -> int:
+        """Suffix-prefill chunk lengths round up to this quantum (bounds the
+        number of distinct compiled chunk programs). Page-size granularity on
+        real hardware (one program per page count); small on CPU where the
+        interpret-mode kernel cost scales with C and compiles are free."""
+        return self.page_size if jax.default_backend() == "tpu" else 8
 
     def _pick(self, slot, logits_row) -> int:
         """Per-slot next token: greedy, or host-side temperature/top-k/top-p
@@ -256,29 +323,79 @@ class PagedMegaBatcher:
         S = len(prompt)
         P = self.page_size
         npg = S // P + 1               # covers positions 0..S (first decode row)
-        # primary takes npg pages; each fork adds one private tail page
-        pages = self._alloc(npg + (n - 1))
+
+        # prefix-cache lookup: longest cached chain of full pages, capped so
+        # at least the last prompt token is computed (we need its logits)
+        keys = self._page_keys(prompt) if self._pc else []
+        nhit = 0
+        for k in keys:
+            if k in self._pc_key2page:
+                nhit += 1
+            else:
+                break
+        nhit = min(nhit, (S - 1) // P)
+        self.pc_hit_tokens += nhit * P
+        self.pc_miss_tokens += S - nhit * P
+
+        # primary takes npg-nhit fresh pages; each fork adds a private tail
+        pages = self._alloc(npg - nhit + (n - 1))
         if pages is None:
             return None
         slot = slots[0]
-        self.table[slot, :npg] = pages[:npg]
+        for j in range(nhit):
+            pg = self._pc_key2page[keys[j]]
+            self._ref_cached(pg)
+            self.table[slot, j] = pg
+        self.table[slot, nhit:npg] = pages[:npg - nhit]
 
-        # batch-1 prefill at full logical capacity (ONE compile for all
-        # prompt lengths), then whole-page scatter of the first ceil(S/P)
-        # pages; the valid mask redirects the rest to scratch page 0
-        one = init_cache(self.cfg, 1, self.max_len, jnp.int8)
-        logits, one = prefill(self.model.params, self.cfg,
-                              jnp.asarray(prompt[None, :]), one, True)
-        n_slab = -(-S // P)
-        self.pool = scatter_prefill_pages(
-            self.pool, one, jnp.asarray(self.table[slot]),
-            jnp.arange(self.pps) < n_slab, self.cfg)
+        if nhit == 0:
+            # batch-1 prefill at full logical capacity (ONE compile for all
+            # prompt lengths), then whole-page scatter of the first
+            # ceil(S/P) pages; the valid mask redirects the rest to scratch
+            one = init_cache(self.cfg, 1, self.max_len, jnp.int8)
+            logits, one = prefill(self.model.params, self.cfg,
+                                  jnp.asarray(prompt[None, :]), one, True)
+            n_slab = -(-S // P)
+            self.pool = scatter_prefill_pages(
+                self.pool, one, jnp.asarray(self.table[slot]),
+                jnp.arange(self.pps) < n_slab, self.cfg)
+            logits0 = np.asarray(logits[0])
+        else:
+            # suffix prefill THROUGH the page table: the paged whole-model
+            # CHUNK megakernel scores positions nhit*P..nhit*P+C-1 against
+            # the hit pages; pad rows (position > S-1) land in fresh/scratch
+            # pages and are overwritten by decode before ever being read
+            from .megadecode import model_step_chunk_batch_paged
 
-        logits0 = np.asarray(logits[0])
+            suf = prompt[nhit * P:]
+            s_len = len(suf)
+            q = self._pc_chunk_quantum()
+            # ceil(s_len/q)*q never exceeds the allocated span (npg covers
+            # positions through npg*P-1 and s_len <= (npg-nhit)*P), but clamp
+            # anyway so pad rows can never index past the slot's table row
+            C = min(-(-s_len // q) * q, (npg - nhit) * P)
+            toks = np.zeros(C, prompt.dtype)
+            toks[:s_len] = suf
+            logits_c, self.pool = model_step_chunk_batch_paged(
+                self.model.params, self._mega[0], self._mega[1], self.cfg,
+                jnp.asarray(toks[None, :]), self.pool,
+                jnp.asarray(self.table[slot:slot + 1]),
+                jnp.asarray([nhit * P]),
+                interpret=jax.default_backend() != "tpu")
+            logits0 = np.asarray(logits_c[0, s_len - 1])
+
+        # register this prompt's full pages for future hits
+        if self._pc:
+            for j in range(S // P):
+                pg = int(self.table[slot, j])
+                if keys[j] not in self._pc_key2page and pg != 0:
+                    self._pc_key2page[keys[j]] = pg
+                    self._pc_page2key[pg] = keys[j]
+
         rids = []
         for f, s in enumerate(slots):
             if f > 0:
-                tail = pages[npg + f - 1]
+                tail = pages[npg - nhit + f - 1]
                 j0 = S // P            # index of the written-from-S-on page
                 shared = self.table[slot, :j0]
                 self.table[s, :j0] = shared
