@@ -164,7 +164,7 @@ class PagedMegaBatcher:
     Numerics: hit pages hold byte-identical KV (same tokens, same absolute
     positions), so cached-vs-uncached agreement is exact up to the suffix
     path: the chunk megakernel's bf16 MXU passes differ from the dense
-    prefill's in the last few ULPs — bit-exact in interpret mode
+    prefill's in the last few ULPs — greedy-exact in interpret mode
     (tests/test_prefix_cache.py), while on hardware a near-tie greedy argmax
     on a RANDOM-INIT model can flip (measured max rel logit diff ~1.7e-2 at
     tiny scale — the same property as the spec-dec verify path,
@@ -267,11 +267,12 @@ class PagedMegaBatcher:
         return 1
 
     def _pc_chunk_quantum(self) -> int:
-        """Suffix-prefill chunk lengths round up to this quantum (bounds the
-        number of distinct compiled chunk programs). Page-size granularity on
-        real hardware (one program per page count); small on CPU where the
-        interpret-mode kernel cost scales with C and compiles are free."""
-        return self.page_size if jax.default_backend() == "tpu" else 8
+        """Fixed chunk length for suffix prefill: ONE compiled program
+        regardless of suffix length (longer suffixes run several sequential
+        launches). 32 keeps the chunk kernel inside the 64M scoped-VMEM
+        budget at 7B (C=128 needs 106M); small on CPU where interpret-mode
+        kernel cost scales with C."""
+        return 32 if jax.default_backend() == "tpu" else 8
 
     def _pick(self, slot, logits_row) -> int:
         """Per-slot next token: greedy, or host-side temperature/top-k/top-p
@@ -319,6 +320,11 @@ class PagedMegaBatcher:
         if len(slots) < n:
             return None
         keep = max(self.max_len - max_new_tokens - self._headroom(), 1)
+        if self._pc:
+            # a suffix chunk's pad rows reach position S + q - 2; keep them
+            # inside the slot's page-table row (entries past npg are 0 ->
+            # scratch, but indices past pps would clamp-gather a live page)
+            keep = min(keep, self.max_len - self._pc_chunk_quantum())
         prompt = np.asarray(prompt).reshape(-1)[-keep:]
         S = len(prompt)
         P = self.page_size
@@ -362,27 +368,32 @@ class PagedMegaBatcher:
             logits0 = np.asarray(logits[0])
         else:
             # suffix prefill THROUGH the page table: the paged whole-model
-            # CHUNK megakernel scores positions nhit*P..nhit*P+C-1 against
-            # the hit pages; pad rows (position > S-1) land in fresh/scratch
-            # pages and are overwritten by decode before ever being read
+            # CHUNK megakernel scores q tokens per launch against the hit
+            # pages (fixed C=q -> ONE compiled program, VMEM bounded: C=128
+            # at 7B needs 106M scoped vmem vs the 64M limit, so long
+            # suffixes chunk sequentially). Pad rows (position > S-1) land
+            # in fresh/scratch pages and are overwritten by decode (or a
+            # later chunk) before ever being read.
             from .megadecode import model_step_chunk_batch_paged
 
             suf = prompt[nhit * P:]
             s_len = len(suf)
             q = self._pc_chunk_quantum()
-            # ceil(s_len/q)*q never exceeds the allocated span (npg covers
-            # positions through npg*P-1 and s_len <= (npg-nhit)*P), but clamp
-            # anyway so pad rows can never index past the slot's table row
-            C = min(-(-s_len // q) * q, (npg - nhit) * P)
-            toks = np.zeros(C, prompt.dtype)
-            toks[:s_len] = suf
-            logits_c, self.pool = model_step_chunk_batch_paged(
-                self.model.params, self._mega[0], self._mega[1], self.cfg,
-                jnp.asarray(toks[None, :]), self.pool,
-                jnp.asarray(self.table[slot:slot + 1]),
-                jnp.asarray([nhit * P]),
-                interpret=jax.default_backend() != "tpu")
-            logits0 = np.asarray(logits_c[0, s_len - 1])
+            logits0 = None
+            off = 0
+            while off < s_len:
+                n_real = min(q, s_len - off)
+                toks = np.zeros(q, prompt.dtype)
+                toks[:n_real] = suf[off:off + n_real]
+                logits_c, self.pool = model_step_chunk_batch_paged(
+                    self.model.params, self._mega[0], self._mega[1],
+                    self.cfg, jnp.asarray(toks[None, :]), self.pool,
+                    jnp.asarray(self.table[slot:slot + 1]),
+                    jnp.asarray([nhit * P + off]),
+                    interpret=jax.default_backend() != "tpu")
+                if off + n_real == s_len:
+                    logits0 = np.asarray(logits_c[0, n_real - 1])
+                off += n_real
 
         # register this prompt's full pages for future hits
         if self._pc:

@@ -27,8 +27,11 @@ from mi_optimize_tpu.serving import fuse_for_serving, init_cache, prefill
 from mi_optimize_tpu.serving.megadecode import (
     init_pool_batched, model_step_chunk_batch_paged, stack_serving)
 
-S = 1024          # prompt length
-SUFFIX = 128      # uncached tail when the first S-SUFFIX tokens are cached
+S = int(os.environ.get("MI_PC_S", "1024"))        # prompt length
+# uncached tail when the first S-SUFFIX tokens are cached; the paged chunk
+# kernel's compile cost grows with C (B*C virtual flash slots) — 16 is the
+# chat-turn case and compiles fast, 128 is a full page
+SUFFIX = int(os.environ.get("MI_PC_SUFFIX", "16"))
 P = 128
 MAXLEN = 2048
 

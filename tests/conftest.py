@@ -27,6 +27,18 @@ def _assert_cpu():
     assert len(jax.devices()) == 8
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _drop_compiled_programs():
+    """Free jitted executables between test modules. The suite compiles
+    hundreds of interpret-mode megakernel programs; letting them accumulate
+    across all ~30 modules segfaulted XLA-CPU's compiler on this 2-vCPU image
+    (reproducibly, at ~220 tests in, inside backend_compile_and_load — the
+    per-module flush keeps the compiler's working set bounded). Costs ~10%
+    wall: shared tiny programs recompile per module."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
