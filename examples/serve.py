@@ -95,6 +95,10 @@ def main():
                 print(f"  [{score:8.3f}] {tokenizer.decode(toks)}")
         return
 
+    if args.prefix_cache and not args.paged:
+        ap.error("--prefix-cache requires --paged (the cache lives in the "
+                 "page pool)")
+
     if args.speculative and args.paged:
         # spec-dec under page-pool memory management: megakernel drafting +
         # one paged chunk-verify launch for all slots per round

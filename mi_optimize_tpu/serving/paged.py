@@ -161,6 +161,14 @@ class PagedMegaBatcher:
     resident on an LRU list and are evicted (freed + deregistered) only under
     allocator pressure, so the cache costs no pool capacity.
 
+    Capacity caveat: with prefix_cache=True the admission clamp reserves one
+    extra chunk quantum (32 tokens on TPU, 8 on CPU) of slot capacity for the
+    suffix-chunk pad rows, EVEN on a full cache miss — prompts within one
+    quantum of max_len - max_new_tokens are truncated one quantum shorter
+    than a cache-disabled batcher would, so outputs for those edge prompts
+    can differ between prefix_cache on/off. Prompts shorter than that bound
+    are unaffected and greedy sequences match exactly (interpret mode).
+
     Numerics: hit pages hold byte-identical KV (same tokens, same absolute
     positions), so cached-vs-uncached agreement is exact up to the suffix
     path: the chunk megakernel's bf16 MXU passes differ from the dense
@@ -229,6 +237,17 @@ class PagedMegaBatcher:
             self._pc_lru.pop(page, None)
         self.page_refs[page] += 1
 
+    def _unref(self, page: int):
+        """Drop one reference; at zero, registered pages go back on the LRU
+        (evictable, still cached) and unregistered ones to the free list."""
+        page = int(page)
+        self.page_refs[page] -= 1
+        if self.page_refs[page] == 0:
+            if page in self._pc_page2key:
+                self._pc_lru[page] = None
+            else:
+                self.free_pages.append(page)
+
     def _page_keys(self, prompt) -> List[int]:
         """Chain hash per full page: key[j] covers tokens [0, (j+1)*P) — a
         page is only reusable when its ENTIRE prefix matches."""
@@ -249,12 +268,7 @@ class PagedMegaBatcher:
     def _retire(self, slot):
         for p in self.table[slot]:
             if p != 0:
-                self.page_refs[p] -= 1
-                if self.page_refs[p] == 0:
-                    if int(p) in self._pc_page2key:  # stay resident, evictable
-                        self._pc_lru[int(p)] = None
-                    else:
-                        self.free_pages.append(int(p))
+                self._unref(p)
         self.table[slot] = 0
         self.positions[slot] = 0   # dead slot reads/writes only scratch page 0
         self.last_token[slot] = 0
@@ -340,19 +354,35 @@ class PagedMegaBatcher:
             else:
                 break
         nhit = min(nhit, (S - 1) // P)
-        self.pc_hit_tokens += nhit * P
-        self.pc_miss_tokens += S - nhit * P
+
+        # Pin hit pages BEFORE allocating: _alloc evicts refcount-0 LRU pages
+        # and could otherwise evict — and re-issue as fresh writable pages —
+        # the very pages we are about to map (KeyError crash at best, silent
+        # KV aliasing at worst). Pinning takes them off the evictable list.
+        hit_pages = [self._pc_key2page[keys[j]] for j in range(nhit)]
+        for pg in hit_pages:
+            self._ref_cached(pg)
 
         # primary takes npg-nhit fresh pages; each fork adds a private tail
         pages = self._alloc(npg - nhit + (n - 1))
+        if pages is None and nhit:
+            # pool can't cover the suffix with the hit pages pinned — fall
+            # back to a full cache-miss prefill, which is free to evict the
+            # would-be hit pages themselves (strictly more capacity)
+            for pg in hit_pages:
+                self._unref(pg)
+            nhit, hit_pages = 0, []
+            pages = self._alloc(npg + (n - 1))
         if pages is None:
             return None
         slot = slots[0]
-        for j in range(nhit):
-            pg = self._pc_key2page[keys[j]]
-            self._ref_cached(pg)
+        for j, pg in enumerate(hit_pages):
             self.table[slot, j] = pg
         self.table[slot, nhit:npg] = pages[:npg - nhit]
+        # stats count only ADMITTED work (rejected requests are retried by
+        # callers and would otherwise double-count)
+        self.pc_hit_tokens += nhit * P
+        self.pc_miss_tokens += S - nhit * P
 
         if nhit == 0:
             # batch-1 prefill at full logical capacity (ONE compile for all

@@ -100,6 +100,57 @@ def test_prefix_cache_eviction_under_pressure():
     assert st["cached_pages"] <= 3
 
 
+def test_prefix_cache_hit_pages_pinned_before_alloc():
+    """Regression (r4 / ADVICE r3-high): _alloc's LRU eviction must never
+    evict the pages the in-flight hit lookup just resolved — they are pinned
+    first, and when the pool can't cover the suffix with them pinned, the
+    request falls back to a full cache-miss prefill instead of crashing
+    (KeyError) or aliasing a hit page as a fresh writable page."""
+    model = _mega_model(seed=13)
+    rng = np.random.default_rng(37)
+    shared = rng.integers(0, 128, (128,))
+    p_small = np.concatenate([shared, rng.integers(0, 128, (10,))])   # 2 pages
+    p_big = np.concatenate([shared, rng.integers(0, 128, (200,))])    # 3 pages
+    new = 4
+
+    ref = PagedMegaBatcher(model, n_slots=1, max_len=512,
+                           page_size=128).run_all([p_small, p_big], new)
+
+    # 3 usable pages: after p_small retires, its registered shared page sits
+    # on the LRU; p_big resolves it as a hit but then needs 2 fresh pages
+    # from {1 free + the hit page itself} — the old code evicted the hit page
+    # inside _alloc and crashed mapping it
+    pb = PagedMegaBatcher(model, n_slots=1, max_len=512, page_size=128,
+                          n_pages=4, prefix_cache=True)
+    got = pb.run_all([p_small, p_big], new)
+    for rid in ref:
+        assert got[rid] == ref[rid]
+    # every page accounted for: refcounts all zero, free+LRU = whole pool
+    assert (pb.page_refs == 0).all()
+    assert sorted(pb.free_pages + list(pb._pc_lru)) == [1, 2, 3]
+
+
+def test_prefix_cache_rejection_rolls_back_pins_and_stats():
+    """An inadmissible request must leave refcounts, the LRU, and the
+    hit/miss stats exactly as they were (stats count only admitted work)."""
+    model = _mega_model(seed=14)
+    rng = np.random.default_rng(41)
+    shared = rng.integers(0, 128, (128,))
+    p1 = np.concatenate([shared, rng.integers(0, 128, (10,))])
+
+    pb = PagedMegaBatcher(model, n_slots=2, max_len=512, page_size=128,
+                          n_pages=3, prefix_cache=True)
+    r1 = pb.add_request(p1, max_new_tokens=4)
+    assert r1 is not None                                  # uses both pages
+    st0 = pb.prefix_cache_stats()
+    refs0 = pb.page_refs.copy()
+    # shares the prefix but pool is exhausted -> must be rejected cleanly
+    p2 = np.concatenate([shared, rng.integers(0, 128, (200,))])
+    assert pb.add_request(p2, max_new_tokens=4) is None
+    assert pb.prefix_cache_stats() == st0
+    assert (pb.page_refs == refs0).all()
+
+
 def test_prefix_cache_composes_with_parallel_sampling():
     """n>1 forks of a cache-hit request: hit pages are shared by every fork
     (refcount == n) and sampling stays deterministic per seed."""
