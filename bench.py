@@ -116,8 +116,18 @@ def main():
     from mi_optimize_tpu.serving.megadecode import (
         decode_loop_model, stack_cache, stack_serving)
 
+    from mi_optimize_tpu.serving.flatdecode import (
+        decode_loop_flat, stack_cache_flat, stack_flat)
+
     st = stack_serving(model) if on_tpu else None
-    if st is not None:
+    fl = stack_flat(model, st) if st is not None else None
+    if fl is not None:
+        # round 4: FLAT megakernel — lm_head + argmax fused in-kernel
+        fstack, fmeta = fl
+        fcache = stack_cache_flat(cache)
+        run = lambda: decode_loop_flat(params, fstack, fmeta, cfg, tok,
+                                       fcache, pos0, n_decode)[0]
+    elif st is not None:
         stack, meta = st
         scache = stack_cache(cache)
         run = lambda: decode_loop_model(params, stack, meta, cfg, tok, scache,
@@ -162,8 +172,10 @@ def main():
         try:
             from mi_optimize_tpu.eval.latency import kernel_breakdown
 
-            kb = kernel_breakdown(model, tok, pos0, scache, dt / n_decode,
-                                  n=n_decode, stack_meta=st)
+            kb = kernel_breakdown(
+                model, tok, pos0, None if fl is not None else scache,
+                dt / n_decode, n=n_decode, stack_meta=st,
+                flat_meta=fl, flat_cache=fcache if fl is not None else None)
         except Exception as e:
             kb = None
             print(f"# kernel breakdown skipped: {e!r}", flush=True)

@@ -134,47 +134,89 @@ STREAM_MICROBENCH_BYTES_PER_S = 361e9
 
 
 def kernel_breakdown(model: Model, tok, pos0, cache_list, full_step_s,
-                     n=32, stack_meta=None) -> Optional[Dict]:
+                     n=32, stack_meta=None, flat_meta=None,
+                     flat_cache=None) -> Optional[Dict]:
     """Per-kernel roofline accounting for the decode step (machine-recorded;
     VERDICT r2 item 9). Times the whole-model megakernel ALONE (an n-step
-    scan with the residual fed back; no cache scatter / lm_head) and derives
-    each kernel's bytes/token, GB/s, and %-of-ceiling. Returns None when the
-    megakernel contract does not hold for this model.
+    scan; no cache scatter) and derives each kernel's bytes/token, GB/s, and
+    %-of-ceiling. Returns None when the megakernel contract does not hold
+    for this model.
 
     stack_meta: optional pre-built (stack, meta) from stack_serving — pass it
     when the caller already stacked the weights (the [L, ...] stack is ~the
-    whole model's bytes; building it twice risks HBM exhaustion at 7B)."""
+    whole model's bytes; building it twice risks HBM exhaustion at 7B).
+
+    flat_meta/flat_cache (round 4): pre-built stack_flat result + merged
+    cache — times the FLAT kernel instead (lm_head + argmax in-kernel, so
+    its bytes include the packed unembed and the residual glue is just the
+    cache scatter + embed-row gather)."""
     from ..models import llama
-    from ..ops.model_fused import model_decode_mega
     from ..serving.megadecode import stack_cache, stack_serving
 
-    st = stack_meta if stack_meta is not None else stack_serving(model)
-    if st is None:
-        return None
-    stack, meta = st
     cfg = model.config
-    scache = stack_cache(cache_list) if isinstance(cache_list, list) else cache_list
     params = model.params
+    lm = model.params.get("lm_head")
+    lm_bytes = (sum(l.size * l.dtype.itemsize
+                    for l in jax.tree.leaves((lm.packed, lm.w_scale, lm.w_zero)))
+                if lm is not None and hasattr(lm, "packed") else 0)
 
-    @jax.jit
-    def mega_only(params, stack, cache, tok, pos0):
-        x0 = llama.embed(params, tok)
+    if flat_meta is not None:
+        from ..ops.model_flat import model_decode_flat
 
-        def step(carry, _):
-            x, pos = carry
-            cos, sin = llama.rope_tables(cfg, pos[None])
-            x2, *_ = model_decode_mega(
-                stack, x, cos.reshape(-1)[-cfg.head_dim:],
-                sin.reshape(-1)[-cfg.head_dim:], cache, pos, cfg, meta)
-            return (x2, pos + 1), x2[0, 0, 0]
+        stack, meta = flat_meta
+        fcache = flat_cache
+        max_len = fcache["kv"].shape[1]
 
-        (_, _), xs = jax.lax.scan(step, (x0, pos0), None, length=n)
-        return xs
+        @jax.jit
+        def mega_only(params, stack, cache, tok, pos0):
+            x0 = llama.embed(params, tok)
 
-    xs = mega_only(params, stack, scache, tok, pos0)
+            def step(pos, _):
+                cos, sin = llama.rope_tables(cfg, pos[None])
+                cossin = jnp.concatenate(
+                    [cos.reshape(-1)[-cfg.head_dim:],
+                     sin.reshape(-1)[-cfg.head_dim:]])
+                t2, _, _, _ = model_decode_flat(stack, x0, cossin, cache,
+                                                pos, cfg, meta)
+                return pos + 1, t2[0, 0]
+
+            _, xs = jax.lax.scan(step, pos0, None, length=n)
+            return xs
+
+        tb = 256 if max_len % 256 == 0 else 128
+    else:
+        from ..ops.model_fused import model_decode_mega
+
+        st = stack_meta if stack_meta is not None else stack_serving(model)
+        if st is None:
+            return None
+        stack, meta = st
+        scache = (stack_cache(cache_list) if isinstance(cache_list, list)
+                  else cache_list)
+        max_len = scache["k"].shape[1]
+
+        @jax.jit
+        def mega_only(params, stack, cache, tok, pos0):
+            x0 = llama.embed(params, tok)
+
+            def step(carry, _):
+                x, pos = carry
+                cos, sin = llama.rope_tables(cfg, pos[None])
+                x2, *_ = model_decode_mega(
+                    stack, x, cos.reshape(-1)[-cfg.head_dim:],
+                    sin.reshape(-1)[-cfg.head_dim:], cache, pos, cfg, meta)
+                return (x2, pos + 1), x2[0, 0, 0]
+
+            (_, _), xs = jax.lax.scan(step, (x0, pos0), None, length=n)
+            return xs
+
+        tb = 256 if (max_len % 256 == 0 and max_len >= 1024) else 128
+
+    cache_arg = fcache if flat_meta is not None else scache
+    xs = mega_only(params, stack, cache_arg, tok, pos0)
     _ = float(np.asarray(xs[-1]))
     t0 = time.perf_counter()
-    xs = mega_only(params, stack, scache, tok, pos0)
+    xs = mega_only(params, stack, cache_arg, tok, pos0)
     _ = float(np.asarray(xs[-1]))
     mega_s = (time.perf_counter() - t0) / n
 
@@ -182,17 +224,10 @@ def kernel_breakdown(model: Model, tok, pos0, cache_list, full_step_s,
     # live KV blocks actually fetched at mid-decode position (the kernel's
     # prefix clamp skips dead blocks)
     pos_mid = int(pos0) + n // 2
-    tb = 256 if (scache["k"].shape[1] % 256 == 0
-                 and scache["k"].shape[1] >= 1024) else 128
     blocks = -(-pos_mid // tb)
     kv_row = cfg.num_kv_heads * (cfg.head_dim * 2 + 8)  # k+v int8, 2 f32 scales
     kv_bytes = cfg.num_layers * blocks * tb * kv_row
     mega_bytes = stack_bytes + kv_bytes
-
-    lm = model.params.get("lm_head")
-    lm_bytes = (sum(l.size * l.dtype.itemsize
-                    for l in jax.tree.leaves((lm.packed, lm.w_scale, lm.w_zero)))
-                if lm is not None and hasattr(lm, "packed") else 0)
 
     dev = jax.devices()[0]
     bw = next((v for k, v in HBM_BYTES_PER_S.items() if k in str(dev)), 819e9)
@@ -202,6 +237,8 @@ def kernel_breakdown(model: Model, tok, pos0, cache_list, full_step_s,
         "nominal_hbm_gbps": bw / 1e9,
         "stream_microbench_gbps": STREAM_MICROBENCH_BYTES_PER_S / 1e9,
         "megakernel": {
+            "kind": "flat(+lm_head+argmax)" if flat_meta is not None
+                    else "model_fused",
             "ms_per_token": round(mega_s * 1e3, 3),
             "bytes_per_token": mega_bytes,
             "gbps": round(gbps, 1),
@@ -210,11 +247,16 @@ def kernel_breakdown(model: Model, tok, pos0, cache_list, full_step_s,
                 100 * gbps * 1e9 / STREAM_MICROBENCH_BYTES_PER_S, 1),
             "pct_of_step": round(100 * mega_s / full_step_s, 1),
         },
-        "lm_head_scatter_glue": {
+    }
+    if flat_meta is not None:
+        # lm_head already inside the kernel (its bytes are in the stack);
+        # remaining glue = cache-row scatter + embed gather + scan plumbing
+        out["scatter_embed_glue"] = {"ms_per_token": round(glue_s * 1e3, 3)}
+    else:
+        out["lm_head_scatter_glue"] = {
             "ms_per_token": round(glue_s * 1e3, 3),
             "bytes_per_token": lm_bytes,
             "gbps_if_io_bound": round(lm_bytes / glue_s / 1e9, 1)
             if glue_s > 0 else None,
-        },
-    }
+        }
     return out

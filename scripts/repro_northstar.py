@@ -32,10 +32,56 @@ def get_tokenizer(path):
     return AutoTokenizer.from_pretrained(path, use_fast=True)
 
 
+def write_dryrun_checkpoint(path, seed=0):
+    """Synthesize a tiny random llama checkpoint in HF layout (config.json +
+    model.safetensors) so the WHOLE north-star pipeline — HF load -> fp PPL
+    -> GPTQ int4 g128 calibration via the YAML config -> quantized PPL ->
+    delta — runs end-to-end with zero code changes the day real weights are
+    mountable (round 4, VERDICT item 8: keep the trigger loaded)."""
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    h, inter, L, heads, kvh, vocab = 256, 512, 2, 4, 2, 512
+    cfg = {
+        "model_type": "llama", "hidden_size": h, "intermediate_size": inter,
+        "num_hidden_layers": L, "num_attention_heads": heads,
+        "num_key_value_heads": kvh, "vocab_size": vocab,
+        "rms_norm_eps": 1e-5, "max_position_embeddings": 2048,
+        "rope_theta": 10000.0, "tie_word_embeddings": False,
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    rng = np.random.default_rng(seed)
+    t = lambda *s: (rng.standard_normal(s) * (s[-1] ** -0.5)).astype(np.float32)
+    w = {"model.embed_tokens.weight": t(vocab, h),
+         "model.norm.weight": np.ones(h, np.float32),
+         "lm_head.weight": t(vocab, h)}
+    for i in range(L):
+        p = f"model.layers.{i}"
+        w.update({
+            f"{p}.input_layernorm.weight": np.ones(h, np.float32),
+            f"{p}.post_attention_layernorm.weight": np.ones(h, np.float32),
+            f"{p}.self_attn.q_proj.weight": t(h, h),
+            f"{p}.self_attn.k_proj.weight": t(h // (heads // kvh), h),
+            f"{p}.self_attn.v_proj.weight": t(h // (heads // kvh), h),
+            f"{p}.self_attn.o_proj.weight": t(h, h),
+            f"{p}.mlp.gate_proj.weight": t(inter, h),
+            f"{p}.mlp.up_proj.weight": t(inter, h),
+            f"{p}.mlp.down_proj.weight": t(h, inter),
+        })
+    save_file(w, os.path.join(path, "model.safetensors"))
+    return path
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model-path", required=True,
+    ap.add_argument("--model-path", default=None,
                     help="HF Llama-2-7B checkpoint dir (config.json + safetensors)")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="synthesize a tiny random checkpoint and run the "
+                         "full pipeline on it (CI smoke; delta check skipped "
+                         "— random weights have no meaningful PPL)")
     ap.add_argument("--tokenizer-path", default=None)
     ap.add_argument("--quant-config",
                     default=os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -49,29 +95,54 @@ def main():
 
     from mi_optimize_tpu.models.loader import load_llama_from_hf
 
-    tok = get_tokenizer(args.tokenizer_path or args.model_path)
+    if args.dry_run:
+        import tempfile
+
+        from mi_optimize_tpu.datasets.tokenizer import ByteTokenizer
+        from mi_optimize_tpu.quant.config import QuantConfig
+
+        args.model_path = write_dryrun_checkpoint(
+            os.path.join(tempfile.mkdtemp(prefix="northstar_dry_"), "ckpt"))
+        tok = ByteTokenizer()
+        qc = QuantConfig.from_yaml(args.quant_config)
+        qc.calibrate.nsamples, qc.calibrate.seqlen = 2, 128
+        args.quant_config = qc
+    elif args.model_path is None:
+        ap.error("--model-path is required (or pass --dry-run)")
+    else:
+        tok = get_tokenizer(args.tokenizer_path or args.model_path)
     bench = Benchmark()
     sets = args.datasets.split(",")
 
+    print(f"[northstar] loading {args.model_path}", flush=True)
     model = load_llama_from_hf(args.model_path)
+    ppl_kw = {"seqlen": 128, "nsamples": 2} if args.dry_run else {}
+    print("[northstar] fp ppl...", flush=True)
     t0 = time.time()
-    fp_ppl = bench.eval_ppl(model, tok, sets)
+    fp_ppl = bench.eval_ppl(model, tok, sets, **ppl_kw)
     t_fp = time.time() - t0
 
+    print("[northstar] quantizing...", flush=True)
     t0 = time.time()
     qmodel = mt.quantize(model, args.quant_config, tokenizer=tok)
     t_q = time.time() - t0
 
+    print("[northstar] quant ppl...", flush=True)
     t0 = time.time()
-    q_ppl = bench.eval_ppl(qmodel, tok, sets)
+    q_ppl = bench.eval_ppl(qmodel, tok, sets, **ppl_kw)
     t_qp = time.time() - t0
 
     result = {
-        "config": os.path.basename(args.quant_config),
+        "config": (os.path.basename(args.quant_config)
+                   if isinstance(args.quant_config, str) else "dry-run(gptq)"),
+        "dry_run": bool(args.dry_run),
         "fp_ppl": fp_ppl,
         "quant_ppl": q_ppl,
         "delta": {s: round(q_ppl[s] - fp_ppl[s], 4) for s in fp_ppl},
-        "pass": all(q_ppl[s] - fp_ppl[s] <= args.delta for s in fp_ppl),
+        # dry-run exercises the pipeline only — random weights have no
+        # meaningful PPL, so the delta gate doesn't apply
+        "pass": (None if args.dry_run
+                 else all(q_ppl[s] - fp_ppl[s] <= args.delta for s in fp_ppl)),
         "threshold": args.delta,
         "wall_s": {"fp_ppl": round(t_fp, 1), "quantize": round(t_q, 1),
                    "quant_ppl": round(t_qp, 1)},

@@ -1,0 +1,91 @@
+"""Planted-structure models (round 4): greedy decoding must follow the
+planted token map on every path, and the spec-dec draft/target accept rate
+must track the planted disagreement fraction."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mi_optimize_tpu.models.llama import LlamaConfig
+from mi_optimize_tpu.models.model import Model
+from mi_optimize_tpu.serving import fuse_for_serving, generate
+from mi_optimize_tpu.utils.planted import (
+    build_planted_llama, planted_map, planted_pair)
+
+
+def _cfg(**kw):
+    d = dict(vocab_size=128, hidden_size=512, intermediate_size=1024,
+             num_layers=2, num_heads=4, num_kv_heads=2, head_dim=128,
+             max_seq_len=512)
+    d.update(kw)
+    return LlamaConfig(**d)
+
+
+def test_greedy_follows_planted_map():
+    cfg = _cfg()
+    m = planted_map(cfg.vocab_size, seed=3)
+    model = Model(config=cfg, params=build_planted_llama(cfg, m),
+                  family="llama")
+    prompt = np.array([[5, 17, 99]])
+    n = 6
+    out = generate(model, prompt, max_new_tokens=n, fused=False,
+                   cache_dtype=jnp.int8, max_len=256)[0, prompt.shape[1]:]
+    want, t = [], 99
+    for _ in range(n):
+        t = int(m[t])
+        want.append(t)
+    assert np.asarray(out).tolist() == want
+
+
+def test_planted_follows_on_megakernel_path():
+    from mi_optimize_tpu.serving import init_cache, prefill
+    from mi_optimize_tpu.serving.megadecode import (
+        decode_loop_model, stack_cache, stack_serving)
+
+    cfg = _cfg()
+    m = planted_map(cfg.vocab_size, seed=5)
+    model = fuse_for_serving(Model(config=cfg,
+                                   params=build_planted_llama(cfg, m),
+                                   family="llama"))
+    st = stack_serving(model)
+    assert st is not None
+    prompt = np.array([[7, 42]])
+    cache = init_cache(cfg, 1, 256, jnp.int8)
+    logits, cache = prefill(model.params, cfg, jnp.asarray(prompt), cache,
+                            False)
+    first = int(np.argmax(np.asarray(logits[0])))
+    assert first == int(m[42])
+    toks, _ = decode_loop_model(model.params, st[0], st[1], cfg,
+                                jnp.asarray([[first]]), stack_cache(cache),
+                                jnp.asarray(2), 4, interpret=True)
+    want, t = [], first
+    for _ in range(4):
+        t = int(m[t])
+        want.append(t)
+    assert np.asarray(toks[0]).tolist() == want
+
+
+# frac=0.5 bound: a disagreement at position i of a k-chunk rejects the rest,
+# so accepted/proposed ~ (q+q^2+q^3)/3 ~ 0.29 at per-token agreement q=0.5,
+# with wide variance over a 12-token orbit
+@pytest.mark.parametrize("frac,lo,hi", [(0.0, 0.99, 1.01), (0.5, 0.03, 0.8)])
+def test_spec_accept_rate_tracks_disagreement(frac, lo, hi):
+    from mi_optimize_tpu.serving.speculative import speculative_generate
+
+    cfg = _cfg()
+    target, draft, m_t, _ = planted_pair(cfg, draft_layers=1,
+                                         disagree_frac=frac)
+    target, draft = fuse_for_serving(target), fuse_for_serving(draft)
+    prompt = np.array([[11, 23]])
+    toks, stats = speculative_generate(target, draft, prompt,
+                                       max_new_tokens=12, k=3, fused=False,
+                                       cache_dtype=jnp.int8,
+                                       draft_megakernel=False,
+                                       on_device=False)
+    # target-greedy output must follow m_t regardless of the draft
+    want, t = [], 23
+    for _ in range(12):
+        t = int(m_t[t])
+        want.append(t)
+    assert np.asarray(toks).reshape(-1)[2:2 + 12].tolist() == want
+    assert lo <= stats["accept_rate"] <= hi
