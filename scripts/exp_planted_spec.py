@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Spec-dec WIN demonstration on the real chip (round 4, VERDICT item 3).
+
+Every prior on-chip spec-dec measurement used random-init weights, whose
+draft/target greedy agreement is ~1/V — the feature lost in every recorded
+run and its win was a projection. This run uses PLANTED-structure models
+(utils/planted.py): greedy decoding follows a fixed token map with logit
+margins that dwarf int4 quantization and bf16 noise, so a 2-layer draft
+sharing the target's map agrees at rate ~1.0, and a draft with 30% of its
+map redirected agrees at ~0.7 — controllable, *measured* accept rates with
+a genuinely 16x-cheaper draft. Decode COST equals a real checkpoint's (all
+weight traffic identical; only o/down content is zero), so the tokens/s here
+are what a real 7B target + distilled 2-layer draft of that agreement would
+deliver.
+
+Prints one JSON line per configuration: plain megakernel baseline, then
+spec-dec k in {4, 8} at alpha ~ 1.0 and alpha ~ 0.7.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mi_optimize_tpu.models.llama import LlamaConfig
+from mi_optimize_tpu.serving import fuse_for_serving, init_cache, prefill
+from mi_optimize_tpu.serving.speculative import speculative_generate
+from mi_optimize_tpu.utils.planted import planted_pair
+
+if os.environ.get("MI_SMOKE"):
+    cfg = LlamaConfig(vocab_size=128, hidden_size=512, intermediate_size=1024,
+                      num_layers=2, num_heads=4, num_kv_heads=2, head_dim=128,
+                      max_seq_len=512)
+    NEW = 8
+else:
+    cfg = LlamaConfig.llama2_7b()
+    NEW = 64
+rng = np.random.default_rng(0)
+prompt = rng.integers(0, cfg.vocab_size, (1, 64))
+
+
+def build(frac):
+    t, d, m_t, _ = planted_pair(cfg, draft_layers=2, disagree_frac=frac)
+    return fuse_for_serving(t), fuse_for_serving(d), m_t
+
+
+print("# building planted target+drafts (on-device)...", flush=True)
+t0 = time.time()
+target, draft_hi, m_t = build(0.0)
+_, draft_lo, _ = build(0.30)
+print(f"# built in {time.time()-t0:.0f}s", flush=True)
+
+
+def expected_chain(n):
+    seq, t = [], int(prompt[0, -1])
+    for _ in range(n):
+        t = int(m_t[t])
+        seq.append(t)
+    return seq
+
+
+def timed(name, fn, check_chain=True):
+    toks, stats = fn()
+    flat = np.asarray(toks).reshape(-1)
+    t0 = time.perf_counter()
+    toks, stats = fn()
+    dt = time.perf_counter() - t0
+    flat = np.asarray(toks).reshape(-1)
+    got = flat[prompt.shape[1]:prompt.shape[1] + NEW].tolist()
+    rec = {"what": name, "tokens_per_s": round(NEW / dt, 2),
+           **{k: round(v, 3) if isinstance(v, float) else v
+              for k, v in stats.items()}}
+    if check_chain:
+        rec["follows_planted_map"] = got == expected_chain(NEW)
+    print(json.dumps(rec), flush=True)
+    return NEW / dt
+
+
+# plain single-stream megakernel baseline (the bar spec-dec must beat),
+# via the same whole-model path bench.py records
+from mi_optimize_tpu.serving.megadecode import (
+    decode_loop_model, stack_cache, stack_serving)
+
+st = stack_serving(target)
+cache = init_cache(cfg, 1, 256, jnp.int8)
+logits, cache = prefill(target.params, cfg, jnp.asarray(prompt), cache,
+                        jax.default_backend() == "tpu")
+first = jnp.argmax(logits, -1)[:, None]
+scache = stack_cache(cache)
+
+
+def plain():
+    toks, _ = decode_loop_model(target.params, st[0], st[1], cfg, first,
+                                scache, jnp.asarray(prompt.shape[1]), NEW,
+                                interpret=jax.default_backend() != "tpu")
+    _ = int(np.asarray(toks).reshape(-1)[-1])
+    return np.concatenate([prompt, np.asarray(toks)], axis=1), {}
+
+
+base = timed("plain_megakernel", plain, check_chain=False)
+
+for k in (4, 8):
+    for name, d in (("alpha~1.0", draft_hi), ("alpha~0.7", draft_lo)):
+        tps = timed(f"specdec k={k} 2L-draft {name}",
+                    lambda d=d, k=k: speculative_generate(
+                        target, d, prompt, max_new_tokens=NEW, k=k,
+                        fused=True, cache_dtype=jnp.int8,
+                        draft_megakernel=True))
+        print(json.dumps({"speedup_vs_plain": round(tps / base, 3),
+                          "config": f"k={k} {name}"}), flush=True)
