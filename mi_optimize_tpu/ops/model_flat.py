@@ -17,20 +17,19 @@ kernel attacks both named levers of BENCH r3's decomposition:
    only on the terminal rows. The decode loop then needs no out-of-kernel
    lm_head at all (just the embed-row gather for the next token).
 
-2. FEWER, CHEAPER GRID STEPS. Per-step fixed cost scales with both the step
-   count and the number of operands whose index maps the scalar core must
-   evaluate every step, so this kernel (a) fetches DOUBLE-width qkv/o blocks
-   and loops two 512-wide compute subtiles inside one step (the f32 unpack
-   transient stays at the measured-fast [512, cn] shape — the (1024,1024)
-   tile sweep point was slow because its COMPUTE tile, and hence transient,
-   doubled), (b) picks the MLP tile by (padding, steps) score — 1408 for the
-   7B 11008 intermediate: same 11264 padded width as the 1024 tile but 8
-   steps/layer instead of 11, and (c) MERGES operands: n1+n2 -> one [L,2,h]
-   array, cos+sin -> [1,2D], the K and V caches -> one [L,T,2,Hkv,D] array
-   (+ merged scales), gate/up tiles interleaved into one fetch, the four KV
-   row/scale outputs -> two, and — in the symmetric-grid case this fast
-   path requires — the four dequant-bias tables are DROPPED entirely (bias
-   = -zc*scale computed in-kernel from the streamed scales).
+2. FEWER OPERANDS, SWEPT TILES. The K and V caches merge into one
+   [L,T,2,Hkv,D] array (+ merged scales), gate/up tiles interleave into one
+   fetch, the four KV row/scale outputs merge to two, and — in the
+   symmetric-grid case this fast path requires — the four dequant-bias
+   tables are DROPPED entirely (bias = -zc*scale computed in-kernel from
+   the streamed scales). Tile structure supports fetch-width multiples of
+   the 512 compute subtile (MI_TKF/MI_TOF) and alternate MLP/lm tiles
+   (MI_TIF/MI_TV), but the r4 on-chip sweep (exp_flat_sweep.py) showed
+   SMALLER tiles win — grid-step count varied 2x across configs for <2%
+   time change (the per-step fixed cost hypothesis is dead; the kernel is
+   dequant-compute / pipeline-granularity bound), and oversized blocks
+   (tkf=2048, tv=6400) collapse the VMEM pipeline (58-62 tok/s). Defaults:
+   single-width fetch, ti=1024, tv=3200, flash block 256.
 
 Scope: B=1 S=1 greedy decode, symmetric per-group packed int4/int8 weights
 (all-layer-constant zero), packed lm_head, int8 KV cache. Anything else
@@ -85,26 +84,23 @@ def _pick_sub(n: int) -> int:
 
 
 def _pick_ti(inter: int) -> int:
-    """MLP tile minimizing grid steps at the BASE stack's padded width.
+    """MLP tile: the base stack's TIM tiling (1024), unless MI_TIF overrides
+    with a tile reproducing the same padded width.
 
     The flat kernel reuses model_fused's stacked gate/up/down arrays, so its
     padded intermediate must equal the base stack's (TIM rule, MI_TIM env).
-    Among tiles reproducing that width, fewest steps wins — for the 7B 11008
-    intermediate (padded 11264) that is 1408: 8 steps/layer vs 1024's 11,
-    zero extra traffic. MI_TIF overrides (on-chip sweeps)."""
+    Swept on-chip (r4, exp_flat_sweep.py): ti=1408 (8 steps/layer) measured
+    150.0 vs ti=1024 (11 steps/layer) 153.1 tok/s — fewer, larger MLP steps
+    LOSE; per-grid-step fixed cost is not the lever, pipeline granularity
+    is. So the default stays 1024."""
     from .model_fused import TIM
 
     ti_base = int(os.environ.get("MI_TIM", 0)) or TIM
     base_ip = -(-inter // ti_base) * ti_base
     v = int(os.environ.get("MI_TIF", 0))
-    cands = [v] if v else [k * 128 for k in range(2, 17)]
-    best = None
-    for ti in cands:
-        if -(-inter // ti) * ti != base_ip or base_ip % ti:
-            continue
-        if best is None or base_ip // ti < base_ip // best:
-            best = ti
-    return best or ti_base
+    if v and -(-inter // v) * v == base_ip and base_ip % v == 0:
+        return v
+    return ti_base
 
 
 def _pick_tv(vocab: int, cap: int = 3328) -> int:
@@ -131,11 +127,14 @@ def flat_tiles(cfg, vocab: int):
     if not tkc or not toc:
         return None
 
+    # swept on-chip (r4): double-width fetch (tkf=2c) measured 150.0 vs
+    # single-width 151.6-153.1; quad-width (2048) thrashes the VMEM pipeline
+    # catastrophically (57.5). Single-width is the default.
     def fetch(env, n, c):
         v = int(os.environ.get(env, 0))
         if v and n % v == 0 and v % c == 0:
             return v
-        return 2 * c if n % (2 * c) == 0 else c
+        return c
 
     tkf = fetch("MI_TKF", h, tkc)
     tof = fetch("MI_TOF", q_dim, toc)

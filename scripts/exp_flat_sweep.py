@@ -15,14 +15,16 @@ import sys
 
 ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
+# round-1 sweep: default 150.0; 512/512 fetch 151.6; TIF=1024 153.1;
+# TV=1280 149.8; TKF=2048 and TV=6400 catastrophic (57.5 / 58.2 — the
+# blocks blow the 80MB scoped-VMEM budget and the pipeline thrashes).
+# round-2 combos around the winners:
 CONFIGS = [
-    {},                                           # defaults (1024/1024/1408/3200)
-    {"MI_TKF": "512", "MI_TOF": "512"},           # no fetch-subtiling
-    {"MI_TIF": "1024"},                           # model_fused's MLP tiling
-    {"MI_TKF": "2048"},                           # 4 compute subtiles per fetch
-    {"MI_TV": "1280"},                            # small lm_head tile
-    {"MI_TV": "6400"},                            # big lm_head tile
-    {"MI_TKF": "2048", "MI_TOF": "2048"},
+    {"MI_TKF": "512", "MI_TOF": "512", "MI_TIF": "1024"},
+    {"MI_TIF": "1024", "MI_TV": "1280"},
+    {"MI_TKF": "512", "MI_TOF": "512", "MI_TIF": "1024", "MI_TV": "1280"},
+    {"MI_TKF": "512", "MI_TOF": "512", "MI_TIF": "1024",
+     "MI_DEQ_GROUPED": "0"},
 ]
 
 for cfg in CONFIGS:

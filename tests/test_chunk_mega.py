@@ -8,6 +8,7 @@ verdicts per chunk position, same written KV rows.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mi_optimize_tpu.serving import init_cache, prefill
 from mi_optimize_tpu.serving.engine import prefill_chunk
@@ -97,6 +98,7 @@ def test_chunk_mega_batched_matches_per_slot():
             c2["k"][0, b, :, prefixes[b] + C:])).sum() == 0
 
 
+@pytest.mark.slow
 def test_spec_batcher_mega_verify_matches_dense():
     """SpeculativeBatcher with the chunk-megakernel verify emits exactly the
     dense megakernel ContinuousBatcher's greedy sequences."""

@@ -25,7 +25,10 @@ def _flat_model(seed=0, bits=4, groupsize=128, **cfg_kw):
     return fuse_for_serving(Model(config=cfg, params=params, family="llama"))
 
 
-@pytest.mark.parametrize("bits,groupsize", [(4, 128), (8, 128)])
+@pytest.mark.parametrize("bits,groupsize", [
+    (4, 128),
+    pytest.param(8, 128, marks=pytest.mark.slow),
+])
 def test_flat_matches_model_fused(bits, groupsize):
     model = _flat_model(seed=3, bits=bits, groupsize=groupsize)
     cfg = model.config

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mi_optimize_tpu.models.model import Model
 from mi_optimize_tpu.serving import fuse_for_serving, init_cache
@@ -42,6 +43,7 @@ def test_model_kernel_matches_per_layer_loop():
     assert int(jnp.abs(scache2["k"][:, S:S + n]).sum()) > 0
 
 
+@pytest.mark.slow
 def test_model_kernel_padded_intermediate():
     """inter % TIM != 0 exercises the zero-padded MLP tail tile."""
     cfg = _mk_cfg(num_layers=2, intermediate_size=1280)  # pads to 1536

@@ -11,6 +11,7 @@ pages across requests.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mi_optimize_tpu.serving import init_cache, prefill
 from mi_optimize_tpu.serving.batching import ContinuousBatcher
@@ -77,6 +78,7 @@ def test_paged_step_matches_dense_batched():
             np.asarray(sc2["k_scale"][:, b, :, pos]))
 
 
+@pytest.mark.slow
 def test_paged_mega_batcher_recycles_and_matches_dense():
     """4 requests × 2 pages each through a pool with only 5 pages (2 slots):
     completing requests must return pages for the next wave, and every

@@ -10,6 +10,7 @@ composition: "paged + speculative", ROADMAP item 4).
 """
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mi_optimize_tpu.serving import init_cache, prefill
 from mi_optimize_tpu.serving.megadecode import (
@@ -81,6 +82,7 @@ def _run(b, prompts, n_new):
     return got
 
 
+@pytest.mark.slow
 def test_paged_speculative_batcher_exact_and_recycles():
     """Spec rounds through the page pool == plain paged greedy; pages
     recycle across the two request waves."""
@@ -105,6 +107,7 @@ def test_paged_speculative_batcher_exact_and_recycles():
     assert (sb.table == 0).all()
 
 
+@pytest.mark.slow
 def test_paged_speculative_batcher_degraded_draft_exact():
     """A WRONG draft (different random init) still emits the target's exact
     greedy sequences — only the accept rate suffers."""

@@ -12,6 +12,7 @@ positions, deterministic prefill), so a cache-enabled batcher must emit the
 same greedy sequences as a cache-disabled one.
 """
 import numpy as np
+import pytest
 
 from mi_optimize_tpu.serving.paged import PagedMegaBatcher
 from tests.test_model_fused_batch import _mega_model
@@ -23,6 +24,7 @@ def _prompts_with_shared_page(rng, n_tail=3):
             for i in range(n_tail)]
 
 
+@pytest.mark.slow
 def test_prefix_cache_matches_uncached_and_shares_pages():
     model = _mega_model(seed=9)
     rng = np.random.default_rng(21)
@@ -151,6 +153,7 @@ def test_prefix_cache_rejection_rolls_back_pins_and_stats():
     assert (pb.page_refs == refs0).all()
 
 
+@pytest.mark.slow
 def test_prefix_cache_composes_with_parallel_sampling():
     """n>1 forks of a cache-hit request: hit pages are shared by every fork
     (refcount == n) and sampling stays deterministic per seed."""

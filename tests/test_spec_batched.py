@@ -12,6 +12,7 @@ VERDICT item 4).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mi_optimize_tpu.models.model import Model
 from mi_optimize_tpu.serving import generate, init_cache, prefill
@@ -102,6 +103,7 @@ def test_speculative_batcher_exact_xla_draft():
     assert b.rounds > 0 and 0 <= b.accepted <= b.proposed
 
 
+@pytest.mark.slow
 def test_speculative_batcher_megakernel_draft():
     """Spec batcher drafting on the BATCHED whole-model megakernel (interpret)
     == plain batcher on the same packed model."""
