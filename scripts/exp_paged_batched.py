@@ -97,14 +97,16 @@ def run(B, T):
     # mid-sequence positions: ~T/3..2T/3 of the cache live per slot
     pos_np = (T // 3 + (T // (3 * B)) * np.arange(B)).astype(np.int32)
     rec = {"what": f"paged_vs_dense_batched_mega B={B} T={T}"}
+    # paged FIRST: a dense-OOM attempt leaves HBM fragmented enough to sink
+    # the paged run too (measured r4: even a jnp.ones failed after it)
+    dt_p, pool_rows = run_paged(B, T, pos_np)
+    rec["paged_tokens_per_s_aggregate"] = round(B * N / dt_p, 2)
     try:
         dt_d = run_dense(B, T, pos_np)
         rec["dense_tokens_per_s_aggregate"] = round(B * N / dt_d, 2)
     except Exception as e:  # measured r3: B=8 T=2048 dense OOMs (the dense
         dt_d = None         # cache + the scan's double buffer exceed HBM)
         rec["dense_tokens_per_s_aggregate"] = f"OOM ({type(e).__name__})"
-    dt_p, pool_rows = run_paged(B, T, pos_np)
-    rec["paged_tokens_per_s_aggregate"] = round(B * N / dt_p, 2)
     if dt_d is not None:
         rec["paged_over_dense"] = round(dt_d / dt_p, 4)
     rec["kv_rows_reserved_dense"] = B * T
