@@ -33,6 +33,13 @@ model = fuse_for_serving(Model(
     family="llama"))
 params = model.params
 stack, meta = stack_serving(model)
+# decode-only experiment: after stacking, the per-layer packed copies are
+# dead weight (~3.5GB HBM) — at B=8 T=2048 keeping them OOMs even the paged
+# run. The step functions read only embed/final_norm/lm_head from params.
+params = dict(params)
+params["layers"] = [{"input_norm": b["input_norm"],
+                     "post_norm": b["post_norm"]} for b in params["layers"]]
+del model
 
 
 @jax.jit
