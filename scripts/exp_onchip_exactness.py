@@ -111,6 +111,13 @@ else:
     report("flat_megakernel", [first] + np.asarray(ftoks[0]).tolist())
 
 # ---- paged pool ----------------------------------------------------------
+# free the dense/flat stacks + cache before the batcher builds ITS stack —
+# at 7B three live weight stacks OOM the chip (measured r4)
+import gc
+
+fl = st = cache = ftoks = toks = logits = None
+gc.collect()
+
 from mi_optimize_tpu.serving.paged import PagedMegaBatcher
 
 pb = PagedMegaBatcher(target, n_slots=2, max_len=1024, page_size=128)
@@ -119,6 +126,8 @@ report("paged_pool", res[0], {"second_slot_ok":
                               list(res[1])[:4] == chain(prompt[299], 4)})
 
 # ---- prefix cache: second request shares a 256-token prefix --------------
+pb = None
+gc.collect()
 pc = PagedMegaBatcher(target, n_slots=1, max_len=1024, page_size=128,
                       prefix_cache=True)
 p2 = np.concatenate([prompt[:256], rng.integers(0, cfg.vocab_size, (40,))])
@@ -135,6 +144,9 @@ print(json.dumps({"path": "prefix_cache_req2_suffix_chunked", "ok": bool(ok2),
                   "hit_tokens": stats["hit_tokens"]}), flush=True)
 
 # ---- spec-dec: megakernel draft + chunk-megakernel verify ----------------
+pc = None
+gc.collect()
+
 from mi_optimize_tpu.serving.speculative import speculative_generate
 
 toks, stats = speculative_generate(target, draft, prompt[None],

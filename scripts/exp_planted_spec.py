@@ -30,7 +30,6 @@ import numpy as np
 from mi_optimize_tpu.models.llama import LlamaConfig
 from mi_optimize_tpu.serving import fuse_for_serving, init_cache, prefill
 from mi_optimize_tpu.serving.speculative import speculative_generate
-from mi_optimize_tpu.utils.planted import planted_pair
 
 if os.environ.get("MI_SMOKE"):
     cfg = LlamaConfig(vocab_size=128, hidden_size=512, intermediate_size=1024,
@@ -44,15 +43,22 @@ rng = np.random.default_rng(0)
 prompt = rng.integers(0, cfg.vocab_size, (1, 64))
 
 
-def build(frac):
-    t, d, m_t, _ = planted_pair(cfg, draft_layers=2, disagree_frac=frac)
-    return fuse_for_serving(t), fuse_for_serving(d), m_t
+import dataclasses
 
+from mi_optimize_tpu.models.model import Model
+from mi_optimize_tpu.utils.planted import build_planted_llama, planted_map
 
-print("# building planted target+drafts (on-device)...", flush=True)
+print("# building planted target + 2 drafts (on-device)...", flush=True)
 t0 = time.time()
-target, draft_hi, m_t = build(0.0)
-_, draft_lo, _ = build(0.30)
+m_t = planted_map(cfg.vocab_size)
+target = fuse_for_serving(Model(
+    config=cfg, params=build_planted_llama(cfg, m_t), family="llama"))
+dcfg = dataclasses.replace(cfg, num_layers=2)
+draft_hi = fuse_for_serving(Model(
+    config=dcfg, params=build_planted_llama(dcfg, m_t), family="llama"))
+m_lo = planted_map(cfg.vocab_size, disagree_frac=0.30)
+draft_lo = fuse_for_serving(Model(
+    config=dcfg, params=build_planted_llama(dcfg, m_lo), family="llama"))
 print(f"# built in {time.time()-t0:.0f}s", flush=True)
 
 
@@ -103,6 +109,13 @@ def plain():
 
 
 base = timed("plain_megakernel", plain, check_chain=False)
+
+# speculative_generate stacks target+draft internally — free the baseline's
+# copies first (three live 7B stacks OOM the chip)
+import gc
+
+st = scache = cache = logits = None
+gc.collect()
 
 for k in (4, 8):
     for name, d in (("alpha~1.0", draft_hi), ("alpha~0.7", draft_lo)):

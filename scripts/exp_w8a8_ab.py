@@ -72,7 +72,8 @@ def f32_dequant_chain(x, packed, scale, zero, n_iters=ITERS):
         y = jax.lax.dot_general(c.astype(jnp.bfloat16), wd,
                                 (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        return c + y[:, : c.shape[-1]].astype(c.dtype) * 1e-6, y[0, 0]
+        w = min(c.shape[-1], y.shape[-1])
+        return c.at[:, :w].add(y[:, :w].astype(c.dtype) * 1e-6), y[0, 0]
 
     _, ys = jax.lax.scan(body, x, None, length=n_iters)
     return ys
@@ -85,7 +86,8 @@ def int8_chain(lin):
 
         def body(c, _):
             y = w8a8_matmul(c, l2)
-            return c + y[:, : c.shape[-1]].astype(c.dtype) * 1e-6, y[0, 0]
+            w = min(c.shape[-1], y.shape[-1])
+            return c.at[:, :w].add(y[:, :w].astype(c.dtype) * 1e-6), y[0, 0]
 
         _, ys = jax.lax.scan(body, x, None, length=ITERS)
         return ys
