@@ -151,6 +151,65 @@ def _spec_loop_mega(tparams, dparams, dstack, dmeta, tcfg, dcfg, tcache, dcache,
                        verify_fn, tcache, dcache, last_tok, pos0, k, n)
 
 
+@partial(jax.jit, static_argnames=("tcfg", "dcfg", "tmeta", "dmeta", "k", "m",
+                                   "interpret"))
+def _spec_scan_flat(tparams, dparams, tstack, dstack, tmeta, dmeta,
+                    tcfg, dcfg, tcache, dcache, last_tok, pos0, k, m,
+                    interpret=False):
+    """m propose->verify->accept rounds as a lax.scan SEGMENT, with the
+    draft on the FLAT kernel (round 4).
+
+    Two measured reasons this beats _spec_loop_mega_full on this runtime
+    (scripts/exp_spec_roundcost.py, 7B target / 2-layer draft, k=8):
+
+    * lax.while_loop serializes: a full round measured 184 ms where its
+      components sum to 53 ms — the while body can't pipeline across
+      iterations here. A fixed-length scan can; callers run segments of
+      m = ceil(n/(k+1)) rounds and re-dispatch only if acceptance fell
+      short (one extra dispatch per shortfall, ~nothing at high accept).
+    * a small-model draft step can't amortize per-op dispatch floors: the
+      2-layer megakernel step measured 3.8 ms (0.4 ms of weights + embed/
+      rms/unembed/argmax/4-scatter glue). The flat kernel folds lm_head +
+      argmax in-kernel and merges the KV outputs, leaving 3 ops per draft
+      step.
+
+    dcache: FLAT merged layout (flatdecode.stack_cache_flat). Returns
+    (emit [m, k+1], n_acc [m], last, pos, tcache, dcache) — row i holds the
+    i-th round's accepted tokens + bonus (n_acc[i]+1 valid entries)."""
+    from .flatdecode import _flat_step
+    from .megadecode import model_step_chunk
+
+    def round_(carry, _):
+        last, pos, tc, dc = carry
+
+        def dstep(c, i):
+            tok, dc_ = c
+            nt, _, dc_ = _flat_step(dparams, dstack, dmeta, dcfg,
+                                    tok[None, None], dc_, pos + i, interpret)
+            return (nt.astype(jnp.int32), dc_), nt.astype(jnp.int32)
+
+        (lastk, dc), props = jax.lax.scan(dstep, (last, dc),
+                                          jnp.arange(k + 1))
+        props = props[:k]                      # k proposals (+1 ingest step)
+        chunk = jnp.concatenate([last[None], props])[None]
+        vlogits, tc = model_step_chunk(tparams, tstack, tmeta, tcfg, chunk,
+                                       tc, pos, interpret)
+        ver = jnp.argmax(vlogits, -1).astype(jnp.int32)
+        match = ver[:k] == props
+        n_accept = jnp.where(match.all(), k,
+                             jnp.argmin(match.astype(jnp.int32)))
+        bonus = ver[n_accept]
+        lane = jnp.arange(k + 1)
+        emit = jnp.where(lane < n_accept, jnp.append(props, 0),
+                         jnp.where(lane == n_accept, bonus, 0))
+        return (bonus, pos + n_accept + 1, tc, dc), (emit, n_accept)
+
+    (last, pos, tc, dc), (emits, n_accs) = jax.lax.scan(
+        round_, (last_tok.astype(jnp.int32), jnp.asarray(pos0), tcache,
+                 dcache), None, length=m)
+    return emits, n_accs, last, pos, tc, dc
+
+
 @partial(jax.jit, static_argnames=("tcfg", "dcfg", "tmeta", "dmeta", "k", "n",
                                    "interpret"))
 def _spec_loop_mega_full(tparams, dparams, tstack, dstack, tmeta, dmeta,
@@ -238,6 +297,50 @@ def speculative_generate(
         dstack, dmeta = dm
         first = jnp.argmax(tlogits, -1)[0]
         interp = jax.default_backend() != "tpu"
+        dfl = None
+        if tm is not None:
+            from .flatdecode import stack_cache_flat, stack_flat
+
+            dfl = stack_flat(draft, dm)
+        if dfl is not None:
+            # scan-segment loop with the flat-kernel draft (round 4): the
+            # while_loop variant measured 184 ms/round against 53 ms of
+            # components on this runtime (exp_spec_roundcost.py); fixed-m
+            # scan segments pipeline, and the flat draft step drops the
+            # per-step lm_head/argmax/scatter glue a small model can't
+            # amortize. Re-dispatch only on acceptance shortfall.
+            tstack, tmeta = tm
+            dstack_f, dmeta_f = dfl
+            tcc = stack_cache_batched(tcache)
+            dcc = stack_cache_flat(dcache)
+            need = max_new_tokens - 1
+            emitted: list = []
+            last = first
+            pos = jnp.asarray(n_prompt)
+            rounds = acc_n = prop_n = 0
+            while len(emitted) < need:
+                m = max(-(-(need - len(emitted)) // (k + 1)), 1)
+                emits, naccs, last, pos, tcc, dcc = _spec_scan_flat(
+                    target.params, draft.params, tstack, dstack_f, tmeta,
+                    dmeta_f, cfg, draft.config, tcc, dcc, last, pos, k, m,
+                    interpret=interp)
+                emits = np.asarray(emits)
+                naccs = np.asarray(naccs)
+                for i in range(m):
+                    emitted.extend(emits[i, : int(naccs[i]) + 1].tolist())
+                rounds += m
+                acc_n += int(naccs.sum())
+                prop_n += m * k
+            seq = seq + [int(first)] + emitted[: need]
+            stats = {
+                "target_calls": rounds,
+                "draft_calls": rounds * (k + 1),
+                "accept_rate": acc_n / max(prop_n, 1),
+                "draft_megakernel": True,
+                "verify_megakernel": True,
+                "scan_segments": True,
+            }
+            return np.asarray(seq)[None, :], stats
         if tm is not None:
             tstack, tmeta = tm
             rest, rounds, acc, prop = _spec_loop_mega_full(

@@ -65,6 +65,31 @@ def test_planted_follows_on_megakernel_path():
     assert np.asarray(toks[0]).tolist() == want
 
 
+def test_spec_scan_flat_segments_exact():
+    """The round-4 scan-segment spec loop (flat-kernel draft + chunk-
+    megakernel verify, fixed-m lax.scan instead of while_loop) must emit the
+    target's exact greedy chain and report accept rate ~1 for an agreeing
+    draft."""
+    from mi_optimize_tpu.serving.speculative import speculative_generate
+
+    cfg = _cfg()
+    target, draft, m_t, _ = planted_pair(cfg, draft_layers=1,
+                                         disagree_frac=0.0)
+    target, draft = fuse_for_serving(target), fuse_for_serving(draft)
+    prompt = np.array([[9, 77]])
+    toks, stats = speculative_generate(target, draft, prompt,
+                                       max_new_tokens=11, k=3, fused=False,
+                                       cache_dtype=jnp.int8,
+                                       draft_megakernel=True)
+    assert stats.get("scan_segments"), "flat scan path should be taken"
+    want, t = [], 77
+    for _ in range(11):
+        t = int(m_t[t])
+        want.append(t)
+    assert np.asarray(toks).reshape(-1)[2:2 + 11].tolist() == want
+    assert stats["accept_rate"] > 0.99
+
+
 # frac=0.5 bound: a disagreement at position i of a k-chunk rejects the rest,
 # so accepted/proposed ~ (q+q^2+q^3)/3 ~ 0.29 at per-token agreement q=0.5,
 # with wide variance over a 12-token orbit
