@@ -62,6 +62,14 @@ draft_lo = fuse_for_serving(Model(
 print(f"# built in {time.time()-t0:.0f}s", flush=True)
 
 
+def _chain_from(t0, n):
+    seq, t = [], int(t0)
+    for _ in range(n):
+        t = int(m_t[t])
+        seq.append(t)
+    return seq
+
+
 def expected_chain(n):
     seq, t = [], int(prompt[0, -1])
     for _ in range(n):
@@ -114,15 +122,58 @@ base = timed("plain_megakernel", plain, check_chain=False)
 # copies first (three live 7B stacks OOM the chip)
 import gc
 
-st = scache = cache = logits = None
-gc.collect()
+# STEADY-STATE spec measurement (r4 fix): time the scan-segment loop alone
+# against the plain decode loop alone — both with caches prefilled OUTSIDE
+# the timed region. (The first version timed speculative_generate whole,
+# charging spec with both models' prefills + cache conversions while the
+# plain baseline paid none — that methodology error, not the round cost,
+# produced the apparent 3x loss: scripts/exp_spec_roundcost.py measured the
+# segment itself at ~20 ms/round vs 184 for the while_loop variant.)
+from mi_optimize_tpu.serving.flatdecode import stack_cache_flat, stack_flat
+from mi_optimize_tpu.serving.megadecode import stack_cache_batched
+from mi_optimize_tpu.serving.speculative import _spec_scan_flat
 
 for k in (4, 8):
     for name, d in (("alpha~1.0", draft_hi), ("alpha~0.7", draft_lo)):
-        tps = timed(f"specdec k={k} 2L-draft {name}",
-                    lambda d=d, k=k: speculative_generate(
-                        target, d, prompt, max_new_tokens=NEW, k=k,
-                        fused=True, cache_dtype=jnp.int8,
-                        draft_megakernel=True))
-        print(json.dumps({"speedup_vs_plain": round(tps / base, 3),
-                          "config": f"k={k} {name}"}), flush=True)
+        dst_d, dmeta_d = stack_serving(d)
+        dfl = stack_flat(d, (dst_d, dmeta_d))
+        assert dfl is not None
+        dc0 = init_cache(d.config, 1, 256, jnp.int8)
+        _, dc0 = prefill(d.params, d.config, jnp.asarray(prompt), dc0, True)
+        fdc = stack_cache_flat(dc0)
+        tc0 = init_cache(cfg, 1, 256, jnp.int8)
+        lg, tc0 = prefill(target.params, cfg, jnp.asarray(prompt), tc0, True)
+        stc = stack_cache_batched(tc0)
+        first_tok = jnp.asarray(jnp.argmax(lg, -1).reshape(-1)[0], jnp.int32)
+        M = -(-NEW // (k + 1))
+
+        def seg():
+            emits, naccs, last, pos, _tc, _dc = _spec_scan_flat(
+                target.params, d.params, st[0], dfl[0], st[1], dfl[1],
+                cfg, d.config, stc, fdc, first_tok,
+                jnp.asarray(prompt.shape[1]), k, M)
+            return np.asarray(emits), np.asarray(naccs)
+
+        emits, naccs = seg()
+        t0 = time.perf_counter()
+        emits, naccs = seg()
+        dt = time.perf_counter() - t0
+        n_tok = int(naccs.sum()) + M
+        got = []
+        for i in range(M):
+            got.extend(emits[i, : int(naccs[i]) + 1].tolist())
+        tps = n_tok / dt
+        print(json.dumps({
+            "what": f"specdec-steady k={k} 2L-draft {name}",
+            "tokens_per_s": round(tps, 2),
+            "rounds": M, "tokens": n_tok,
+            "ms_per_round": round(dt / M * 1e3, 2),
+            "accept_rate": round(float(naccs.sum()) / (M * k), 3),
+            # emits start AFTER first_tok (= chain[0]); follow from there
+            "follows_planted_map": (
+                got == _chain_from(int(first_tok), len(got))
+                if name == "alpha~1.0" else None),
+            "speedup_vs_plain": round(tps / base, 3),
+        }), flush=True)
+        dst_d = dfl = fdc = stc = dc0 = tc0 = None
+        gc.collect()

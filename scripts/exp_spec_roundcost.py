@@ -123,3 +123,33 @@ dt = time.perf_counter() - t0
 print(json.dumps({"what": "full_spec_loop", "rounds": st["target_calls"],
                   "ms_per_round": round(dt / st["target_calls"] * 1e3, 2),
                   "accept_rate": round(st["accept_rate"], 3)}), flush=True)
+
+
+# (d) draft-only on the FLAT kernel (lm_head+argmax in-kernel)
+from mi_optimize_tpu.serving.flatdecode import (
+    decode_loop_flat, stack_cache_flat, stack_flat)
+
+dfl = stack_flat(draft, (dst, dmeta))
+if dfl is not None:
+    fdc = stack_cache_flat(dcache)
+
+    def draft_flat():
+        toks, _ = decode_loop_flat(draft.params, dfl[0], dfl[1], dcfg, first,
+                                   fdc, pos0, K + 1)
+        _ = int(np.asarray(toks).reshape(-1)[-1])
+
+    timeit(f"draft_2L_FLAT_{K+1}_steps", draft_flat, K + 1)
+
+    # (e) one scan-flat segment (m rounds) — the r4 production structure
+    from mi_optimize_tpu.serving.speculative import _spec_scan_flat
+
+    M = 5
+
+    def seg():
+        emits, naccs, last, pos, tcc2, dcc2 = _spec_scan_flat(
+            target.params, draft.params, tst, dfl[0], tmeta, dfl[1],
+            cfg, dcfg, stc, fdc, jnp.asarray(first[0, 0], jnp.int32),
+            pos0, K, M)
+        _ = int(np.asarray(naccs)[-1])
+
+    timeit(f"scan_flat_segment_m{M}_k{K}", seg, M)
