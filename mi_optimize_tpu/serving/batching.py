@@ -203,7 +203,8 @@ class ContinuousBatcher:
                 jnp.asarray(self.last_token[:, None]), self.cache,
                 jnp.asarray(self.positions), self.fused,
             )
-        toks = np.argmax(np.asarray(logits), axis=-1)
+        # device argmax: pull [B] ids, not [B, V] logits (slow host link)
+        toks = np.asarray(jnp.argmax(logits, -1))
         out = {}
         for i in active:
             req = self.slot_req[i]

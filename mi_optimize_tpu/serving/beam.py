@@ -20,6 +20,7 @@ serving-path equivalent with standard length-normalized scoring.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import List, Optional, Tuple
 
 import jax
@@ -34,6 +35,18 @@ def _log_softmax(x: np.ndarray) -> np.ndarray:
     m = x.max(axis=-1, keepdims=True)
     z = x - m
     return z - np.log(np.exp(z).sum(axis=-1, keepdims=True))
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _topk_logprobs(logits, k):
+    """Per-row (log-softmax top-k values, token ids) ON DEVICE — the host
+    pulls [W, k] instead of [W, V] (this environment's host link is ~MB/s;
+    the full-logits pull measured 160 ms/beam-step, r4). EXACT for beam
+    selection: any candidate in the global top-2W must rank <= 2W within
+    its own row, so per-row top-2W loses nothing (incl. eos entries)."""
+    lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1, keepdims=True)
+    v, i = jax.lax.top_k(logits.astype(jnp.float32), k)
+    return v - lse, i
 
 
 def _norm(score: float, length: int, length_penalty: float) -> float:
@@ -142,27 +155,31 @@ def beam_search(
         logits, pool = model_step_batch_paged(
             model.params, stack, meta, cfg, jnp.asarray(last[:, None]), pool,
             jnp.asarray(table), jnp.asarray(positions), interpret=interp)
-        logp = _log_softmax(np.asarray(logits))   # [W, V]
-        V = logp.shape[1]
+        # device top-2W per beam (compact pull; see _topk_logprobs) —
         # candidates from live beams only; top 2W so eos-absorbed picks
         # still leave W live continuations
-        cand = np.full((W, V), -np.inf)
-        cand[live] = scores[live, None] + logp[live]
+        k2 = min(2 * W, cfg.vocab_size)
+        lp_d, li_d = _topk_logprobs(logits, k2)
+        lp = np.asarray(lp_d, np.float64)
+        li = np.asarray(li_d)
+        cand = np.full((W, k2), -np.inf)
+        cand[live] = scores[live, None] + lp[live]
         order = np.argsort(-cand.reshape(-1), kind="stable")[:2 * W]
 
         nlen = len(beams[live[0]]) + 1
         new_parent, new_tok, new_score = [], [], []
         for idx in order:
-            p_, t_ = int(idx // V), int(idx % V)
+            p_, c_ = int(idx // k2), int(idx % k2)
+            t_ = int(li[p_, c_])
             if eos_token_id is not None and t_ == eos_token_id:
                 if len(finished) < 2 * W:
                     finished.append((beams[p_] + [t_],
-                                     _norm(cand[p_, t_], nlen,
+                                     _norm(cand[p_, c_], nlen,
                                            length_penalty)))
                 continue
             new_parent.append(p_)
             new_tok.append(t_)
-            new_score.append(cand[p_, t_])
+            new_score.append(cand[p_, c_])
             if len(new_parent) == len(live):
                 break
 

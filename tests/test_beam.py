@@ -103,7 +103,9 @@ def test_beam_matches_dense_reference():
     assert len(got) == len(ref)
     for (gt, gs), (rt, rs) in zip(got, ref):
         assert gt == rt, (gt, rt)
-        np.testing.assert_allclose(gs, rs, rtol=1e-12)
+        # scores ride the device f32 log-softmax since the r4 compact
+        # top-k pull; tokens must still match exactly (asserted above)
+        np.testing.assert_allclose(gs, rs, rtol=1e-5)
 
 
 def test_beam_with_eos_absorption():
@@ -123,7 +125,9 @@ def test_beam_with_eos_absorption():
                       eos_token_id=eos, max_len=256)
     for (gt, gs), (rt, rs) in zip(got, ref):
         assert gt == rt, (gt, rt)
-        np.testing.assert_allclose(gs, rs, rtol=1e-12)
+        # scores ride the device f32 log-softmax since the r4 compact
+        # top-k pull; tokens must still match exactly (asserted above)
+        np.testing.assert_allclose(gs, rs, rtol=1e-5)
 
 
 def test_beam_width1_equals_greedy():
