@@ -94,7 +94,20 @@ def get_wikitext2(tokenizer, split="test", nsamples=128, seqlen=2048, seed=42, *
 
 
 def get_ptb(tokenizer, split="test", nsamples=128, seqlen=2048, seed=42, **kw):
-    path = find_data_path("ptb_text_only")
+    # PTB is LDC-licensed, so the checked-in ./data fixture is a SYNTHETIC
+    # stand-in (scripts/make_data_fixtures.py::synth_ptb_arrow) — prefer any
+    # REAL corpus (MI_TPU_DATA_DIR, then the reference mount) over it, the
+    # reverse of the usual local-first order (r4 advisor finding).
+    dirs = list(_search_dirs())
+    local = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..",
+                                         "data"))
+    dirs.sort(key=lambda d: os.path.abspath(d) == local if d else False)
+    path = None
+    for d in dirs:
+        p = os.path.join(d, "ptb_text_only") if d else ""
+        if p and os.path.exists(p):
+            path = p
+            break
     if path is None:
         raise FileNotFoundError("ptb corpus not found; set MI_TPU_DATA_DIR")
     ds = _load_arrow_split(path, split)

@@ -508,15 +508,20 @@ class PagedMegaBatcher:
         # compact pull (r4): this environment's host link is ~MB/s, so the
         # full [B, V] logits pull dominated the step (67 vs 18 ms measured).
         # Greedy slots need only the device argmax; sampling slots get the
-        # device top-256 (values + ids) — top_k/top_p act on that truncated,
-        # renormalized set (a standard serving approximation; exact for
-        # top_k <= 256, and the tail mass beyond 256 post-temperature is
-        # negligible for top_p).
+        # device top-K (values + ids) with K = max(256, largest requested
+        # top_k among active slots) — exact for any top_k (r4 advisor: a
+        # fixed 256 silently truncated top_k > 256), and top_p acts on the
+        # truncated, renormalized set (tail mass beyond K post-temperature
+        # is negligible; heavy-tail-exact top_p would need the full pull —
+        # the prefill token, scored via _pick on full logits, is exact).
         if all(self.slot_sample[i] is None for i in active):
             toks_np = np.asarray(jnp.argmax(logits, -1))
             pick = lambda i: int(toks_np[i])
         else:
-            K = min(256, logits.shape[-1])
+            want = max([256] + [int(self.slot_sample[i]["top_k"])
+                                for i in active
+                                if self.slot_sample[i] is not None])
+            K = min(want, logits.shape[-1])
             vals, idx = jax.lax.top_k(logits, K)
             vals_np, idx_np = np.asarray(vals), np.asarray(idx)
             pick = lambda i: self._pick_topk(i, vals_np[i], idx_np[i])

@@ -265,8 +265,12 @@ def speculative_generate(
     seq = list(np.asarray(prompt).reshape(-1))
     n_prompt = len(seq)
     # the on-device loop may overshoot by up to k within a round before the
-    # while condition is re-checked — size the cache for the worst case
-    total = max_len or (n_prompt + max_new_tokens + 2 * k + 3)
+    # while condition is re-checked — size the cache for the worst case.
+    # The flat scan-segment path additionally rounds segment lengths up to a
+    # fixed shape set (see _seg_len), whose last dispatch can run up to
+    # ceil(need/(k+1)) surplus rounds: its worst-case position advance is
+    # bounded by 2*max_new + 2k, so give that path the larger slack.
+    total = max_len or (n_prompt + 2 * max_new_tokens + 2 * k + 3)
     t_calls = d_calls = 0
     proposed_total = accepted_total = 0
 
@@ -318,8 +322,24 @@ def speculative_generate(
             last = first
             pos = jnp.asarray(n_prompt)
             rounds = acc_n = prop_n = 0
+            # segment lengths come from a FIXED shape set {m0} U {2^i <= m0}:
+            # m is a static arg of _spec_scan_flat, so every distinct value
+            # is a full XLA compile (30-120s on this relay — r4 advisor
+            # finding). Rounding shortfall re-dispatches up to a power of two
+            # bounds compiles at log2(m0) while wasting at most m_req-1
+            # surplus rounds (truncated below); the cache is sized for the
+            # worst-case overshoot.
+            m0 = max(-(-need // (k + 1)), 1)
+
+            def _seg_len(remaining: int) -> int:
+                m_req = max(-(-remaining // (k + 1)), 1)
+                m = 1
+                while m < m_req:
+                    m *= 2
+                return min(m, m0)
+
             while len(emitted) < need:
-                m = max(-(-(need - len(emitted)) // (k + 1)), 1)
+                m = _seg_len(need - len(emitted))
                 emits, naccs, last, pos, tcc, dcc = _spec_scan_flat(
                     target.params, draft.params, tstack, dstack_f, tmeta,
                     dmeta_f, cfg, draft.config, tcc, dcc, last, pos, k, m,

@@ -50,6 +50,52 @@ def arrow_subset(src_dir, pattern_split, out_path, column, rows):
     print(f"  {out_path}: {n} rows")
 
 
+def synth_ptb_arrow(out_path, split, rows=ROWS_TEXT):
+    """Write a synthetic ptb_text_only-shaped arrow: a deterministic
+    pseudo-corpus ('sentence' column; lowercase tokens, <unk>, N number
+    markers, $ amounts) that exercises the same loader/tokenizer/crop paths
+    without redistributing any LDC-licensed Penn Treebank text."""
+    import random as _random
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    nouns = ("company market share price rate stock bond trader analyst "
+             "quarter year earnings report board unit plan group fund index "
+             "bank investor product sale cost profit margin contract").split()
+    verbs = ("said rose fell closed gained declined reported expects "
+             "announced agreed offered posted ended added noted").split()
+    mods = ("the a its their this last next new major big small strong "
+            "weak recent current").split()
+    rng = _random.Random(20260821 if split == "test" else 20260822)
+
+    def sentence():
+        n = rng.randint(8, 24)
+        toks = []
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.08:
+                toks.append("N")
+            elif r < 0.12:
+                toks.append("<unk>")
+            elif r < 0.16:
+                toks.append("$ N million")
+            elif r < 0.45:
+                toks.append(rng.choice(nouns))
+            elif r < 0.65:
+                toks.append(rng.choice(verbs))
+            else:
+                toks.append(rng.choice(mods))
+        return " ".join(toks)
+
+    table = pa.table({"sentence": [sentence() for _ in range(rows)]})
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with pa.OSFile(out_path, "wb") as sink:
+        with ipc.new_stream(sink, table.schema) as w:
+            w.write_table(table)
+    print(f"  {out_path}: {rows} synthetic rows (no LDC text)")
+
+
 def csv_subset(src, dst, rows):
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     with open(src, encoding="utf-8") as fi:
@@ -67,12 +113,20 @@ def main():
     ref, out = args.ref, os.path.abspath(args.out)
     os.makedirs(out, exist_ok=True)
 
-    # --- wikitext / ptb: row-subset arrows ---------------------------------
-    for name, col in (("wikitext", "text"), ("ptb_text_only", "sentence")):
-        for split in ("test", "validation"):
-            arrow_subset(os.path.join(ref, name), split,
-                         os.path.join(out, name, f"{name}-{split}.arrow"),
-                         col, ROWS_TEXT)
+    # --- wikitext: row-subset arrows (CC BY-SA — redistributable) ----------
+    for split in ("test", "validation"):
+        arrow_subset(os.path.join(ref, "wikitext"), split,
+                     os.path.join(out, "wikitext", f"wikitext-{split}.arrow"),
+                     "text", ROWS_TEXT)
+
+    # --- ptb: SYNTHETIC stand-in (r4 advisor: Penn Treebank is LDC-licensed;
+    # even row subsets are a redistribution risk, so the checked-in fixture
+    # carries NO LDC text — a deterministic pseudo-corpus in ptb_text_only's
+    # shape/style instead). The real corpus still resolves from
+    # MI_TPU_DATA_DIR or the reference mount, which get_ptb prefers.
+    for split in ("test", "validation"):
+        synth_ptb_arrow(os.path.join(
+            out, "ptb_text_only", f"ptb_text_only-{split}.arrow"), split)
 
     # --- C-Eval: all subjects, val+dev, row-truncated ----------------------
     cat = os.path.join(ref, "ceval-exam", "ceval-exam-category")
