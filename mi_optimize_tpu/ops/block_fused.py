@@ -78,6 +78,23 @@ def _unpack_planar(w, bits):
     return jnp.concatenate(parts, axis=0).astype(jnp.float32)
 
 
+def _unpack_planar_i(w, bits):
+    """`_unpack_planar` without the final f32 convert: raw unsigned fields
+    as int32 (MI_DEQ_CENTER=0 grouped path converts at its dot dtype)."""
+    vpw = 32 // bits
+    mask = jnp.uint32((1 << bits) - 1)
+
+    def field(i):
+        if i == 0:
+            return w & mask
+        if i == vpw - 1:
+            return w >> jnp.uint32(bits * i)
+        return (w >> jnp.uint32(bits * i)) & mask
+
+    return jnp.concatenate([jax.lax.bitcast_convert_type(field(i), jnp.int32)
+                            for i in range(vpw)], axis=0)
+
+
 def _planar_mat(tk, vpw):
     """[tk, tk] f32 permutation matrix: (row @ P)[l] = row[sigma(l)] with
     sigma(l) = (l % tkw)*vpw + l//tkw — i.e. the plane-major activation order
@@ -124,6 +141,12 @@ def _unpack_planar_centered(w, bits):
     field's MSB, then a left+arithmetic-right shift pair sign-extends the
     field — sign_extend(q XOR 2^(b-1)) == q - 2^(b-1) exactly. ~3 ops/value
     vs the uncentered unpack's ~2.75 (the shift pair replaces shift+mask)."""
+    return _unpack_planar_centered_i(w, bits).astype(jnp.float32)
+
+
+def _unpack_planar_centered_i(w, bits):
+    """`_unpack_planar_centered` without the final f32 convert: int32 codes
+    (the MI_DEQ_DOT=bf16/i8 paths convert straight to their dot dtype)."""
     vpw = 32 // bits
     msb = 1 << (bits - 1)
     pattern = sum(msb << (bits * i) for i in range(vpw))
@@ -134,8 +157,7 @@ def _unpack_planar_centered(w, bits):
         t = wx if hi == 0 else wx << hi
         return t >> (32 - bits)
 
-    return jnp.concatenate([field(i) for i in range(vpw)],
-                           axis=0).astype(jnp.float32)
+    return jnp.concatenate([field(i) for i in range(vpw)], axis=0)
 
 
 def _group_mask(ng, tk, vpw, g):
@@ -179,13 +201,48 @@ def _qdot(hp, words, s, b, bits, g_eff, tn):
         wd = _dequant_planar(wq, s, b, bits, g_eff, tn)
         return jax.lax.dot_general(hp, wd, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
-    wq = _unpack_planar_centered(words, bits)     # [tk, tn] codes - 2^(b-1)
+    # MI_DEQ_DOT selects the MXU pass structure of the grouped dot (r5):
+    #   f32  : f32 x f32 dot — Mosaic lowers it as MULTI-pass bf16 products
+    #          (the r4 default; accuracy anchor)
+    #   bf16 : cast centered codes + masked activations to bf16, ONE MXU
+    #          pass. The codes (|q|<=2^(b-1)) are exact in bf16; only the
+    #          activation rounds (2^-9 rel), on top of an int4 grid.
+    #   i8   : quantize the masked activation rows to int8 (per-row absmax)
+    #          and dot int8 x int8 -> int32 in ONE pass at double MXU rate;
+    #          rescale per group. W4A8-like numerics on the weight matmuls.
+    dot_mode = os.environ.get("MI_DEQ_DOT", "f32")
+    # MI_DEQ_CENTER=0 (r5 A/B): unpack RAW unsigned fields — shift+and is
+    # ~1.75 VPU ops/value vs the centered shift-pair's ~2.0 (the convert is
+    # common), trading ~8% of the unpack budget for the uncentered codes'
+    # larger bf16-pass product noise (measured r4: 1.35e-2 vs 1.09e-2 rel).
+    centered = os.environ.get("MI_DEQ_CENTER", "1") != "0"
+    if centered:
+        wq32 = _unpack_planar_centered_i(words, bits)  # int32 codes - off
+        off = float(1 << (bits - 1))              # fold the centering back
+    else:
+        wq32 = _unpack_planar_i(words, bits)      # raw unsigned fields
+        off = 0.0
     mask = _group_mask(ng, tk, vpw, g_eff)
     xg = (hp[:, None, :] * mask[None]).reshape(bsz * ng, tk)
-    d = jax.lax.dot_general(xg, wq, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+    if dot_mode == "i8":
+        amax = jnp.clip(jnp.max(jnp.abs(xg), axis=1, keepdims=True),
+                        1e-20, None)
+        sx = amax / 127.0
+        xq = jnp.round(xg / sx).astype(jnp.int8)
+        d = jax.lax.dot_general(xq, wq32.astype(jnp.int8),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        d = d.astype(jnp.float32) * sx
+    else:
+        if dot_mode == "bf16":
+            wq = wq32.astype(jnp.bfloat16)
+            xc = xg.astype(jnp.bfloat16)
+        else:
+            wq = wq32.astype(jnp.float32)
+            xc = xg
+        d = jax.lax.dot_general(xc, wq, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
     xs = jnp.sum(xg, axis=1, keepdims=True)       # [B*ng, 1]
-    off = float(1 << (bits - 1))                  # fold the centering back
     y = (d.reshape(bsz, ng, tn) * s[None]
          + (b + off * s)[None] * xs.reshape(bsz, ng, 1))
     return jnp.sum(y, axis=1)
