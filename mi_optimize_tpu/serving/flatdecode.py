@@ -71,6 +71,58 @@ def _flat_step(params, stack, meta, cfg, tok, cache, pos, interpret):
     return tok2[0, 0], logits, cache
 
 
+def _flat_seg_step(params, stack, meta, cfg, tok, cache, pos, kseg,
+                   interpret):
+    """kseg greedy tokens in ONE launch (ops/model_flat_seg.py): embed of
+    the NEXT token is gathered in-kernel, the segment's KV rows ride VMEM
+    scratch, and the caller scatters all kseg cache rows at once. Returns
+    (tokens [kseg] i32, cache)."""
+    from ..ops.model_flat_seg import model_decode_flat_seg
+
+    x = llama.embed(params, tok)                           # [1, 1, h]
+    pos = jnp.asarray(pos)
+    cos, sin = llama.rope_tables(cfg, pos + jnp.arange(kseg))
+    cossin = jnp.concatenate([cos, sin], axis=-1)          # [kseg, 2D]
+    emb = jnp.asarray(params["embed"])
+    toks, kvrows, kvsc = model_decode_flat_seg(
+        stack, emb, x, cossin, cache, pos, cfg, meta, kseg,
+        interpret=interpret)
+    kvrows, kvsc = jax.lax.optimization_barrier((kvrows, kvsc))
+    # [kseg, L, ...] -> [L, kseg, ...]; one scatter per field for the whole
+    # segment (vs kseg scatters of the per-token path)
+    rows = jnp.swapaxes(kvrows, 0, 1)                      # [L,kseg,2,Hkv,D]
+    scs = jnp.swapaxes(kvsc[:, :, :, 0, :], 0, 1)          # [L,kseg,2,Hkv]
+    cache = {
+        "kv": jax.lax.dynamic_update_slice(
+            cache["kv"], rows.astype(cache["kv"].dtype), (0, pos, 0, 0, 0)),
+        "kv_scale": jax.lax.dynamic_update_slice(
+            cache["kv_scale"], scs, (0, pos, 0, 0)),
+    }
+    return toks[:, 0], cache
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "meta", "n", "kseg", "interpret"))
+def decode_loop_flat_seg(params, stack, meta, cfg, token, cache, pos0, n,
+                         kseg=8, interpret=False):
+    """Greedy-decode n tokens with ceil(n/kseg) multi-token launches.
+    token [1,1] -> (tokens [1, ceil(n/kseg)*kseg], cache) — the caller
+    keeps the first n (surplus tokens in the last segment are decoded but
+    still correct: they extend the same greedy sequence)."""
+    nseg = -(-n // kseg)
+
+    def seg(carry, _):
+        tok, cache, pos = carry
+        toks, cache = _flat_seg_step(params, stack, meta, cfg, tok, cache,
+                                     pos, kseg, interpret)
+        nt = toks[kseg - 1].astype(token.dtype).reshape(1, 1)
+        return (nt, cache, pos + kseg), toks
+
+    (tok, cache, pos), toks = jax.lax.scan(seg, (token, cache, pos0), None,
+                                           length=nseg)
+    return toks.reshape(1, nseg * kseg), cache
+
+
 @partial(jax.jit, static_argnames=("cfg", "meta", "n", "interpret"))
 def decode_loop_flat(params, stack, meta, cfg, token, cache, pos0, n,
                      interpret=False):

@@ -34,6 +34,36 @@ from ..models.model import Model
 from .engine import decode_loop, decode_step, init_cache, prefill, prefill_chunk
 
 
+#: adaptive-k candidate set and default cost model (round 5, VERDICT item
+#: 6). Costs are milliseconds per scan-flat round on this chip (r4/r5
+#: measurements: C=10 chunk verify ~20 ms with the stream itself ~6.6 ms —
+#: so a k-dependent verify slope; flat-seg draft ~0.5-0.6 ms per drafted
+#: token for a 2-layer draft): round_cost(k) ~= verify_base_ms +
+#: (verify_ms_per_tok + draft_ms_per_tok) * (k+1). Only the RATIOS matter
+#: for the argmax; callers can override via
+#: speculative_generate(cost_model=...).
+ADAPT_KSET = (2, 4, 8)
+ADAPT_COST = {"verify_base_ms": 12.0, "verify_ms_per_tok": 0.8,
+              "draft_ms_per_tok": 0.6}
+
+
+def _best_k(q_hat: float, kset=ADAPT_KSET, cost=None) -> int:
+    """k maximizing expected emitted tokens per unit round cost under a
+    per-token-agreement model: a round with chunk k emits
+    E[n_accept]+1 = (1 - q^(k+1)) / (1 - q) tokens (truncated-geometric
+    acceptance, per-token agreement q)."""
+    c = cost or ADAPT_COST
+    q = min(max(q_hat, 0.0), 0.999)
+
+    def rate(k):
+        e = (k + 1) if q > 0.998 else (1.0 - q ** (k + 1)) / (1.0 - q)
+        return e / (c["verify_base_ms"]
+                    + (c["verify_ms_per_tok"] + c["draft_ms_per_tok"])
+                    * (k + 1))
+
+    return max(kset, key=rate)
+
+
 def _spec_while(draft_fn, verify_fn, tcache, dcache, last_tok, pos0, k, n):
     """The propose->verify->accept while_loop shared by every spec variant.
 
@@ -176,21 +206,21 @@ def _spec_scan_flat(tparams, dparams, tstack, dstack, tmeta, dmeta,
     dcache: FLAT merged layout (flatdecode.stack_cache_flat). Returns
     (emit [m, k+1], n_acc [m], last, pos, tcache, dcache) — row i holds the
     i-th round's accepted tokens + bonus (n_acc[i]+1 valid entries)."""
-    from .flatdecode import _flat_step
+    from .flatdecode import _flat_seg_step
     from .megadecode import model_step_chunk
 
     def round_(carry, _):
         last, pos, tc, dc = carry
 
-        def dstep(c, i):
-            tok, dc_ = c
-            nt, _, dc_ = _flat_step(dparams, dstack, dmeta, dcfg,
-                                    tok[None, None], dc_, pos + i, interpret)
-            return (nt.astype(jnp.int32), dc_), nt.astype(jnp.int32)
-
-        (lastk, dc), props = jax.lax.scan(dstep, (last, dc),
-                                          jnp.arange(k + 1))
-        props = props[:k]                      # k proposals (+1 ingest step)
+        # ONE multi-token launch drafts all k proposals AND ingests the
+        # k+1 cache rows (round 5: ops/model_flat_seg.py — in-kernel embed
+        # of each argmax, segment attention in VMEM, one scatter per field).
+        # Replaces the k+1-step _flat_step scan whose per-launch glue a
+        # 2-layer draft cannot amortize (3.58 ms/step vs 0.4 ms weights).
+        toks, dc = _flat_seg_step(dparams, dstack, dmeta, dcfg,
+                                  last[None, None], dc, pos, k + 1,
+                                  interpret)
+        props = toks[:k].astype(jnp.int32)     # k proposals (+1 ingest row)
         chunk = jnp.concatenate([last[None], props])[None]
         vlogits, tc = model_step_chunk(tparams, tstack, tmeta, tcfg, chunk,
                                        tc, pos, interpret)
@@ -264,13 +294,20 @@ def speculative_generate(
     cfg = target.config
     seq = list(np.asarray(prompt).reshape(-1))
     n_prompt = len(seq)
+    # k="auto": adaptive chunk size (round 5) — the scan-flat path tracks a
+    # per-token-agreement MLE and re-picks k from ADAPT_KSET between
+    # dispatches; other paths fall back to the middle fixed k.
+    adaptive = k == "auto" or k is None
+    k_max = max(ADAPT_KSET) if adaptive else k
+    if adaptive:
+        k = ADAPT_KSET[len(ADAPT_KSET) // 2]
     # the on-device loop may overshoot by up to k within a round before the
     # while condition is re-checked — size the cache for the worst case.
     # The flat scan-segment path additionally rounds segment lengths up to a
     # fixed shape set (see _seg_len), whose last dispatch can run up to
     # ceil(need/(k+1)) surplus rounds: its worst-case position advance is
     # bounded by 2*max_new + 2k, so give that path the larger slack.
-    total = max_len or (n_prompt + 2 * max_new_tokens + 2 * k + 3)
+    total = max_len or (n_prompt + 2 * max_new_tokens + 2 * k_max + 3)
     t_calls = d_calls = 0
     proposed_total = accepted_total = 0
 
@@ -331,15 +368,25 @@ def speculative_generate(
             # worst-case overshoot.
             m0 = max(-(-need // (k + 1)), 1)
 
-            def _seg_len(remaining: int) -> int:
-                m_req = max(-(-remaining // (k + 1)), 1)
+            def _seg_len(remaining: int, kk: int) -> int:
+                m_req = max(-(-remaining // (kk + 1)), 1)
                 m = 1
                 while m < m_req:
                     m *= 2
                 return min(m, m0)
 
+            # adaptive-k state: truncated-geometric MLE of the per-token
+            # agreement q — each round contributes n_accept "successes" and
+            # one "failure" iff it rejected (n_accept < k): q_hat =
+            # acc / (acc + rejects). Adaptive dispatches are capped at 4
+            # rounds so the estimate can steer between dispatches.
+            n_rej = 0
+            d_calls_n = 0
+            k_hist: list = []
             while len(emitted) < need:
-                m = _seg_len(need - len(emitted))
+                m = _seg_len(need - len(emitted), k)
+                if adaptive:
+                    m = min(m, 4)
                 emits, naccs, last, pos, tcc, dcc = _spec_scan_flat(
                     target.params, draft.params, tstack, dstack_f, tmeta,
                     dmeta_f, cfg, draft.config, tcc, dcc, last, pos, k, m,
@@ -351,15 +398,24 @@ def speculative_generate(
                 rounds += m
                 acc_n += int(naccs.sum())
                 prop_n += m * k
+                d_calls_n += m * (k + 1)
+                n_rej += int((naccs < k).sum())
+                if adaptive:
+                    k_hist.append(k)
+                    q_hat = acc_n / max(acc_n + n_rej, 1)
+                    k = _best_k(q_hat)
             seq = seq + [int(first)] + emitted[: need]
             stats = {
                 "target_calls": rounds,
-                "draft_calls": rounds * (k + 1),
+                "draft_calls": d_calls_n,
                 "accept_rate": acc_n / max(prop_n, 1),
                 "draft_megakernel": True,
                 "verify_megakernel": True,
                 "scan_segments": True,
             }
+            if adaptive:
+                stats["adaptive_k"] = k_hist
+                stats["q_hat"] = acc_n / max(acc_n + n_rej, 1)
             return np.asarray(seq)[None, :], stats
         if tm is not None:
             tstack, tmeta = tm

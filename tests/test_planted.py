@@ -114,3 +114,37 @@ def test_spec_accept_rate_tracks_disagreement(frac, lo, hi):
         want.append(t)
     assert np.asarray(toks).reshape(-1)[2:2 + 12].tolist() == want
     assert lo <= stats["accept_rate"] <= hi
+
+
+@pytest.mark.parametrize("frac,expect_k", [
+    (0.0, 8),
+    # r5 re-tier: the low-q variant needs many more dispatches/compiles
+    pytest.param(0.9, 2, marks=pytest.mark.slow),
+])
+def test_adaptive_k_tracks_accept_rate(frac, expect_k):
+    """k="auto" (round 5): the scan-flat path estimates the per-token
+    agreement q by truncated-geometric MLE between dispatches and re-picks
+    k from ADAPT_KSET — an agreeing draft must settle on the largest k, a
+    mostly-disagreeing one on the smallest, and the emitted chain stays the
+    target's exact greedy chain either way."""
+    from mi_optimize_tpu.serving.speculative import speculative_generate
+
+    cfg = _cfg()
+    target, draft, m_t, _ = planted_pair(cfg, draft_layers=1,
+                                         disagree_frac=frac)
+    target, draft = fuse_for_serving(target), fuse_for_serving(draft)
+    prompt = np.array([[9, 77]])
+    n = 30
+    toks, stats = speculative_generate(target, draft, prompt,
+                                       max_new_tokens=n, k="auto",
+                                       fused=False, cache_dtype=jnp.int8,
+                                       draft_megakernel=True)
+    assert stats.get("scan_segments")
+    want, t = [], 77
+    for _ in range(n):
+        t = int(m_t[t])
+        want.append(t)
+    assert np.asarray(toks).reshape(-1)[2:2 + n].tolist() == want
+    hist = stats["adaptive_k"]
+    assert len(hist) >= 2, "need at least two dispatches to adapt"
+    assert hist[-1] == expect_k, (hist, stats["q_hat"])
