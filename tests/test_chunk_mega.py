@@ -17,6 +17,7 @@ from mi_optimize_tpu.serving.megadecode import (
 from tests.test_model_fused_batch import _mega_model
 
 
+@pytest.mark.slow  # r5 re-tier: fast representative = test_chunk_mega_batched_matches_per_slot
 def test_chunk_mega_matches_prefill_chunk():
     model = _mega_model(seed=9)
     cfg = model.config

@@ -123,6 +123,7 @@ def test_eval_ppl_c4_end_to_end(monkeypatch):
     assert np.isfinite(res["c4"]) and res["c4"] > 1.0
 
 
+@pytest.mark.slow  # r5 re-tier: fast representative = the llama-branch mcqa eval tests
 @needs_ceval
 def test_mcqa_eval_chatglm_branch():
     """The chatglm path of _eval_bench (VERDICT r1 weak #8): generation +

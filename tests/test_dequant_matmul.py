@@ -182,6 +182,7 @@ def test_fused_int2(rng):
     np.testing.assert_allclose(y, x @ fake_w.T, rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.slow  # r5 re-tier: fast representative = test_native_w8a8_matches_fake_path
 def test_gptq_affine_int8_never_routes_native_w8a8():
     """Regression (r2 code review): affine GPTQ int8 zeros span [0,255]; the
     native int8 path's (q - zero).astype(int8) would wrap. The spec must carry

@@ -160,6 +160,7 @@ def test_greedy_until_task_end_to_end(tmp_path, monkeypatch):
     assert 0.0 <= res["coqa"]["f1"] <= 1.0 and 0.0 <= res["coqa"]["em"] <= 1.0
 
 
+@pytest.mark.slow  # r5 re-tier: fast representative = other lmeval_gen error paths
 def test_empty_task_hard_fails(monkeypatch):
     # offline mode makes the HF fallback fail instantly instead of paying
     # ~20s of connection retries for the expected miss

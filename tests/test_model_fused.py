@@ -15,6 +15,7 @@ from mi_optimize_tpu.serving.megadecode import (
 from tests.test_block_fused import _mk_cfg, _mk_params
 
 
+@pytest.mark.slow  # r5 re-tier: fast representative = test_model_flat.py::test_flat_matches_unfused_generate (truth chain via flat)
 def test_model_kernel_matches_per_layer_loop():
     cfg = _mk_cfg(num_layers=3)
     params = _mk_params(cfg)

@@ -153,6 +153,7 @@ def test_continuous_batcher_megakernel_path():
     assert req3 is not None and req3.tokens == ref[2]
 
 
+@pytest.mark.slow  # r5 re-tier: fast representative = dryrun_multichip TP-megakernel exactness
 @pytest.mark.parametrize("ntp", [2])
 def test_tp_batched_megakernel_matches_single_device(ntp):
     """TENSOR-PARALLEL batched megakernel (heads + MLP intermediate sharded,

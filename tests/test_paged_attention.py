@@ -58,6 +58,7 @@ def test_paged_flash_matches_reference(page_size, pps):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow  # r5 re-tier: fast representative = test_paged_mega.py::test_paged_step_matches_dense_batched
 def test_paged_batcher_fused_kernel_matches_generate():
     """PagedBatcher with the fused kernel == per-request greedy generate."""
     from mi_optimize_tpu.models.model import Model

@@ -105,6 +105,7 @@ def test_paged_mega_batcher_recycles_and_matches_dense():
     assert (pb.table == 0).all()
 
 
+@pytest.mark.slow  # r5 re-tier: fast representative = dryrun_multichip + test_paged_step_matches_dense_batched
 def test_paged_tp_matches_single_device():
     """Paged + in-kernel TP (round 3 serving composition): the page-pool
     batched megakernel sharded over 'model' (heads + MLP intermediate, pool

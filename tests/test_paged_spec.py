@@ -20,6 +20,7 @@ from mi_optimize_tpu.serving.paged import PagedMegaBatcher, PagedSpeculativeBatc
 from tests.test_model_fused_batch import _mega_model
 
 
+@pytest.mark.slow  # r5 re-tier: fast representative = test_parallel_sampling_forks_share_pages_exact
 def test_paged_chunk_verify_matches_dense():
     """Same slot state in pool+table vs dense B-slot cache -> identical
     chunk-verify logits, and the C new rows land at the right (page, off)."""

@@ -54,6 +54,7 @@ def test_prefix_cache_matches_uncached_and_shares_pages():
     assert (pb.page_refs == 0).all()
 
 
+@pytest.mark.slow  # r5 re-tier: fast representative = test_prefix_cache_hit_pages_pinned_before_alloc
 def test_prefix_cache_page_identity_and_refcounts():
     """The hit request's table must literally point at the first request's
     page while both are live, with the refcount tracking both."""

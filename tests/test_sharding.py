@@ -171,6 +171,7 @@ def test_tp_packed_fused_forward_matches():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow  # r5 re-tier: fast representative = test_tp_packed_fused_forward_matches + dryrun_multichip
 def test_tp_packed_gptq_generation_matches():
     """generate() on a TP-sharded PACKED GPTQ model (act-order perm + fused
     kernel) == unsharded generation, token-exact."""

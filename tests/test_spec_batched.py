@@ -122,6 +122,7 @@ def test_speculative_batcher_megakernel_draft():
     assert got == ref
 
 
+@pytest.mark.slow  # r5 re-tier: fast representative = test_planted.py::test_spec_scan_flat_segments_exact
 def test_speculative_generate_megakernel_draft():
     """Single-stream spec-dec with megakernel drafting == plain greedy."""
     from mi_optimize_tpu.serving.speculative import speculative_generate
