@@ -210,7 +210,19 @@ def _qdot(hp, words, s, b, bits, g_eff, tn):
     #   i8   : quantize the masked activation rows to int8 (per-row absmax)
     #          and dot int8 x int8 -> int32 in ONE pass at double MXU rate;
     #          rescale per group. W4A8-like numerics on the weight matmuls.
-    dot_mode = os.environ.get("MI_DEQ_DOT", "f32")
+    # Dot-pass selection (r5). The grouped dot's activation matrix has
+    # bsz*ng rows; Mosaic lowers an f32 x f32 dot as ~3 bf16 passes, so its
+    # MXU time scales as 3 * bsz * ng * (values) — invisible at bsz=1
+    # (hidden under the weight stream; f32 measured FASTEST there: 155.8 vs
+    # bf16 146.4) but BINDING for the chunk/batched kernels (C=10 -> 40
+    # rows ~ 10 ms of f32 MXU; B=8 -> 32 rows ~ 7 ms — both matching the
+    # r4-unexplained step overheads). bsz>1 therefore defaults to a
+    # single-pass bf16 dot: codes are exact in bf16, only the activation
+    # rounds (2^-9 rel, on top of an int4 grid).
+    if bsz > 1:
+        dot_mode = os.environ.get("MI_DEQ_DOT_B", "bf16")
+    else:
+        dot_mode = os.environ.get("MI_DEQ_DOT", "f32")
     # MI_DEQ_CENTER=0 (r5 A/B): unpack RAW unsigned fields — shift+and is
     # ~1.75 VPU ops/value vs the centered shift-pair's ~2.0 (the convert is
     # common), trading ~8% of the unpack budget for the uncentered codes'

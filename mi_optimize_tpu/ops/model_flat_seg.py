@@ -12,10 +12,16 @@ full forwards back-to-back with zero out-of-kernel glue between tokens:
   * grid (k, L+Lx, spl): outer axis = segment token index. Weight-tile
     index maps ignore t, so each token's pass re-streams the weights (the
     unavoidable cost); terminal rows still freeze tile coordinates.
-  * in-kernel NEXT-TOKEN EMBED: the embedding table stays in HBM
-    (memory_space=ANY); after token t's terminal argmax the kernel DMAs
-    embed[argmax] into a VMEM row and token t+1's first step starts from it
-    — replacing the XLA embed-gather glue between launches.
+  * in-kernel NEXT-TOKEN EMBED: after token t's terminal argmax, extra
+    terminal steps stream the embedding table through the regular block
+    pipeline ((tv, hb) tiles — index maps cannot see the in-kernel argmax,
+    so ALL tiles stream) and a one-hot MXU dot gathers the winning row
+    into a VMEM scratch; token t+1's first step starts from it. This
+    replaces the XLA embed-gather glue between launches at the cost of one
+    embed-table pass per token (skipped for the segment's last token).
+    An HBM->VMEM async-copy gather (zero extra traffic) would be better,
+    but this environment's AOT compile helper crashes on ANY-memory-space
+    DMA (r5 probe: static or dynamic index, any size — all HTTP 500).
   * SEGMENT ATTENTION: the cache in HBM only holds rows < pos0 (the caller
     scatters after the launch). Rows decoded within the segment live in a
     VMEM scratch [L, k, 2, Hkv, D] (f32, dequantized); token t's attention
@@ -52,7 +58,7 @@ def _kernel_flat_seg(
     # scalar prefetch
     pos_ref,
     # inputs
-    x_ref, emb_ref, n1_ref, n2_ref,
+    x_ref, embt_ref, n1_ref, n2_ref,
     qkv_ref, qs_ref,
     cos_ref, sin_ref,
     ckv_ref, kvs_ref,
@@ -64,13 +70,13 @@ def _kernel_flat_seg(
     tok_ref, kvrow_ref, kvsc_ref,
     # scratch
     x_sc, xemb_sc, seg_kv, qkv_acc, attn_sc, oacc_sc, xmid_sc, h2_sc,
-    mlp_acc, q_sc, m_sc, l_sc, fa_sc, am_val, am_idx, emb_sem,
+    mlp_acc, q_sc, m_sc, l_sc, fa_sc, am_val, am_idx,
     *,
     bits, hidden, q_dim, kv_dim, inter,
     n_heads, n_kv_heads, head_dim, vocab,
     g_qkv, g_o, g_gu, g_d, g_ue,
     zc_qkv, zc_o, zc_gu, zc_d, zc_ue,
-    nqf, nof, ni, nt, nv, tb, spl, n_layers, kseg,
+    nqf, nof, ni, nt, nv, nh, hb, tb, spl, n_layers, kseg,
     tkf, tkc, tof, toc, ti, tv,
     out_dtype, rms_eps,
 ):
@@ -135,8 +141,16 @@ def _kernel_flat_seg(
     # ---------------- phase 2a: rope + KV row/scratch + seed + SEGMENT pass
     @pl.when(on_layer & (jl == nqf))
     def _attn_init():
-        cos = cos_ref[:].astype(jnp.float32)
-        sin = sin_ref[:].astype(jnp.float32)
+        # cos/sin carry ALL kseg rows (a (1, D) block of a [kseg, D] array
+        # violates Mosaic's 8-divisible sublane rule when kseg % 8 != 0);
+        # row t is selected with a one-hot MXU dot
+        oh_t = _onehot_rows(t, 1, kseg)
+        cos = jax.lax.dot_general(oh_t, cos_ref[:].astype(jnp.float32),
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        sin = jax.lax.dot_general(oh_t, sin_ref[:].astype(jnp.float32),
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
         qkv = qkv_acc[:]
         q = _rope_rows(qkv[:, :q_dim].reshape(n_heads, head_dim), cos, sin)
         k = _rope_rows(
@@ -360,15 +374,30 @@ def _kernel_flat_seg(
 
         @pl.when(lm_step == nv)
         def _():
-            tok_ref[:] = (jnp.zeros((1, 128), jnp.int32) + am_idx[0])
-            # fetch the decoded token's embedding row for token t+1 —
-            # in-kernel replacement of the between-launch embed gather.
-            # ~2*hidden bytes; start+wait here (its latency hides under
-            # nothing, but it is tiny vs one grid step).
-            cp = pltpu.make_async_copy(
-                emb_ref.at[pl.ds(am_idx[0], 1), :], xemb_sc, emb_sem)
-            cp.start()
-            cp.wait()
+            tok_ref[:] = (jnp.zeros((1, 8, 128), jnp.int32) + am_idx[0])
+
+    # ---------------- embed-gather steps: stream the table, keep the
+    # winner's row. Step g covers vocab tile t2 = g//nh, column chunk
+    # c = g%nh; only the tile containing am_idx contributes (one-hot dot).
+    # The last segment token needs no next-embed (the caller embeds the
+    # next launch's input) — its fetches are clamped by the index map.
+    g_step = lm_step - (nv + 1)
+
+    @pl.when((l >= L) & (g_step >= 0) & (g_step < nv * nh)
+             & (t < kseg - 1))
+    def _emb_gather():
+        t2 = g_step // nh
+        c = g_step % nh
+
+        @pl.when(am_idx[0] // tv == t2)
+        def _():
+            oh = _onehot_rows(am_idx[0] - t2 * tv, 1, tv)
+            row = jax.lax.dot_general(
+                oh, embt_ref[:].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [1, hb]
+            xemb_sc[:, pl.ds(pl.multiple_of(c * hb, hb), hb)] = \
+                row.astype(xemb_sc.dtype)
 
 
 @functools.partial(jax.jit,
@@ -379,7 +408,7 @@ def model_decode_flat_seg(stack, emb, x, cossin, cache, pos0, cfg, meta,
     the first token; emb [V, H] = embedding table (stays in HBM); cossin
     [kseg, 2D] = rope rows for positions pos0..pos0+kseg-1.
 
-    Returns (tokens [kseg, 128] i32 — lane 0 per row, kvrows
+    Returns (tokens [kseg, 8, 128] i32 — [:, 0, 0] per row, kvrows
     [kseg, L, 2, Hkv, D] i8, kvscales [kseg, L, 2, 1, Hkv] f32). The caller
     scatters the kseg cache rows with one dynamic_update_slice per field.
     """
@@ -398,8 +427,16 @@ def model_decode_flat_seg(stack, emb, x, cossin, cache, pos0, cfg, meta,
     tb = 256 if max_len % 256 == 0 else 128
     assert max_len % tb == 0
     nt = max_len // tb
+    # embed-gather tiling: (tv, hb) blocks of the [V, H] table
+    hb = 0
+    for c in (1024, 512, 256, 128):
+        if h % c == 0:
+            hb = c
+            break
+    assert hb and vocab % tv == 0
+    nh = h // hb
     spl = nqf + 1 + nt + nof + ni
-    Lx = -(-(nv + 1) // spl)
+    Lx = -(-(nv + 1 + nv * nh) // spl)
     grid = (kseg, L + Lx, spl)
 
     kern = functools.partial(
@@ -408,8 +445,8 @@ def model_decode_flat_seg(stack, emb, x, cossin, cache, pos0, cfg, meta,
         vocab=vocab,
         g_qkv=g_qkv, g_o=g_o, g_gu=g_gu, g_d=g_d, g_ue=g_ue,
         zc_qkv=zc_qkv, zc_o=zc_o, zc_gu=zc_gu, zc_d=zc_d, zc_ue=zc_ue,
-        nqf=nqf, nof=nof, ni=ni, nt=nt, nv=nv, tb=tb, spl=spl, n_layers=L,
-        kseg=kseg,
+        nqf=nqf, nof=nof, ni=ni, nt=nt, nv=nv, nh=nh, hb=hb, tb=tb,
+        spl=spl, n_layers=L, kseg=kseg,
         tkf=tkf, tkc=tkc, tof=tof, toc=toc, ti=ti, tv=tv,
         out_dtype=x.dtype, rms_eps=cfg.rms_eps,
     )
@@ -426,6 +463,13 @@ def model_decode_flat_seg(stack, emb, x, cossin, cache, pos0, cfg, meta,
         l < L, jnp.minimum(jnp.clip(j - (nqf + 1), 0, nt - 1), p[0] // tb),
         last_kv(p))
     t_lm = lambda t, l, j, p: jnp.clip((l - L) * spl + j - 1, 0, nv - 1)
+    # embed-gather fetch coordinates: during gather steps walk (t2, c);
+    # outside them (and for the last segment token) pin to the last block
+    def t_emb(t, l, j, p):
+        g = (l - L) * spl + j - (nv + 1)
+        g = jnp.clip(g, 0, nv * nh - 1)
+        live = (l >= L) & (t < kseg - 1)
+        return jnp.where(live, g // nh, 0), jnp.where(live, g % nh, 0)
 
     def sspec(arr, tkfetch, tilef, g):
         n = max(tkfetch // g, 1)
@@ -447,14 +491,15 @@ def model_decode_flat_seg(stack, emb, x, cossin, cache, pos0, cfg, meta,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, h), lambda t, l, j, p: (0, 0)),              # x
-            pl.BlockSpec(memory_space=pl.ANY),                       # emb
+            pl.BlockSpec((tv, hb),
+                         lambda t, l, j, p: t_emb(t, l, j, p)),         # emb
             pl.BlockSpec((1, 1, h), lambda t, l, j, p: (lc(l), 0, 0)),   # n1
             pl.BlockSpec((1, 1, h), lambda t, l, j, p: (lc(l), 0, 0)),   # n2
             pl.BlockSpec((1, tkf // vpw, n_qkv),
                          lambda t, l, j, p: (lc(l), t_qkv(t, l, j, p), 0)),
             sspec(stack["qs"], tkf, t_qkv, g_qkv),
-            pl.BlockSpec((1, D), lambda t, l, j, p: (t, 0)),            # cos
-            pl.BlockSpec((1, D), lambda t, l, j, p: (t, 0)),            # sin
+            pl.BlockSpec((kseg, D), lambda t, l, j, p: (0, 0)),         # cos
+            pl.BlockSpec((kseg, D), lambda t, l, j, p: (0, 0)),         # sin
             pl.BlockSpec((1, tb, 2, Hkv, D),
                          lambda t, l, j, p: (lc(l), t_kv(t, l, j, p),
                                              0, 0, 0)),
@@ -477,7 +522,7 @@ def model_decode_flat_seg(stack, emb, x, cossin, cache, pos0, cfg, meta,
             pl.BlockSpec((1, h), lambda t, l, j, p: (0, 0)),          # fnorm
         ],
         out_specs=[
-            pl.BlockSpec((1, 128), lambda t, l, j, p: (t, 0)),        # token
+            pl.BlockSpec((1, 8, 128), lambda t, l, j, p: (t, 0, 0)),  # token
             pl.BlockSpec((1, 1, 2, Hkv, D),
                          lambda t, l, j, p: (t, lc(l), 0, 0, 0)),
             pl.BlockSpec((1, 1, 2, 1, Hkv),
@@ -499,7 +544,6 @@ def model_decode_flat_seg(stack, emb, x, cossin, cache, pos0, cfg, meta,
             pltpu.VMEM((cfg.num_heads, D), jnp.float32),
             pltpu.SMEM((1,), jnp.float32),               # running max
             pltpu.SMEM((1,), jnp.int32),                 # running argmax
-            pltpu.SemaphoreType.DMA,                     # embed fetch
         ],
     )
 
@@ -509,7 +553,7 @@ def model_decode_flat_seg(stack, emb, x, cossin, cache, pos0, cfg, meta,
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((kseg, 128), jnp.int32),
+            jax.ShapeDtypeStruct((kseg, 8, 128), jnp.int32),
             jax.ShapeDtypeStruct((kseg, L, 2, Hkv, D), jnp.int8),
             jax.ShapeDtypeStruct((kseg, L, 2, 1, Hkv), jnp.float32),
         ],

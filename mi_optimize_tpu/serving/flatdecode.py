@@ -98,7 +98,7 @@ def _flat_seg_step(params, stack, meta, cfg, tok, cache, pos, kseg,
         "kv_scale": jax.lax.dynamic_update_slice(
             cache["kv_scale"], scs, (0, pos, 0, 0)),
     }
-    return toks[:, 0], cache
+    return toks[:, 0, 0], cache
 
 
 @partial(jax.jit,

@@ -143,8 +143,34 @@ if not ok2:
 print(json.dumps({"path": "prefix_cache_req2_suffix_chunked", "ok": bool(ok2),
                   "hit_tokens": stats["hit_tokens"]}), flush=True)
 
-# ---- spec-dec: megakernel draft + chunk-megakernel verify ----------------
+# ---- beam search (round 5, VERDICT item 5): the planted margins make the
+# greedy chain's logprob dominate every alternative, so the TOP hypothesis
+# must equal the planted chain — this exercises beam's host-side COW
+# page-table reordering + the paged batched kernel on-chip.
 pc = None
+gc.collect()
+
+from mi_optimize_tpu.serving.beam import beam_search
+
+hyps = beam_search(target, prompt.copy(), beam_width=2,
+                   max_new_tokens=NEW + 1, page_size=128, max_len=1024)
+report("beam_top_hypothesis", hyps[0][0])
+
+# ---- temperature sampling: margins >> logit scale, so softmax at T=1 is
+# near-deterministic — the sampled chain must equal the planted chain.
+# Exercises the device top-K compact pull + host rng renormalization.
+hyps = None
+gc.collect()
+pbs = PagedMegaBatcher(target, n_slots=1, max_len=1024, page_size=128)
+rid = pbs.add_request(prompt.copy(), max_new_tokens=NEW + 1,
+                      temperature=1.0, top_p=1.0, top_k=0, seed=11)
+req = next(r for r in pbs.slot_req if r is not None and r.rid == rid)
+while any(r is not None for r in pbs.slot_req):
+    pbs.step()
+report("sampled_T1_top256_pull", req.tokens)
+
+# ---- spec-dec: megakernel draft + chunk-megakernel verify ----------------
+pbs = None
 gc.collect()
 
 from mi_optimize_tpu.serving.speculative import speculative_generate

@@ -63,9 +63,13 @@ def test_batched_megakernel_matches_per_slot(B):
         jnp.asarray(positions), interpret=True)
     logits_b = np.asarray(logits_b)
 
+    # 4e-2: the batched kernel's grouped dot runs a single bf16 MXU pass
+    # for bsz>1 (r5, MI_DEQ_DOT_B — the f32 3-pass dot was the batched
+    # step's binding MXU cost); activations round at 2^-9 on top of the
+    # int4 grid, worst logit measured 3.3e-2 rel in interpret mode
     for b in range(B):
         np.testing.assert_allclose(logits_b[b], ref_logits[b],
-                                   rtol=2e-2, atol=2e-2, err_msg=f"slot {b}")
+                                   rtol=4e-2, atol=4e-2, err_msg=f"slot {b}")
         assert int(np.argmax(logits_b[b])) == int(np.argmax(ref_logits[b])), b
 
     # per-slot KV rows landed at each slot's own position
