@@ -39,14 +39,18 @@ def _log_softmax(x: np.ndarray) -> np.ndarray:
 
 @partial(jax.jit, static_argnames=("k",))
 def _topk_logprobs(logits, k):
-    """Per-row (log-softmax top-k values, token ids) ON DEVICE — the host
-    pulls [W, k] instead of [W, V] (this environment's host link is ~MB/s;
-    the full-logits pull measured 160 ms/beam-step, r4). EXACT for beam
-    selection: any candidate in the global top-2W must rank <= 2W within
-    its own row, so per-row top-2W loses nothing (incl. eos entries)."""
+    """Per-row (log-softmax top-k values, token ids) ON DEVICE, PACKED into
+    one f32 array [2, W, k] (ids bitcast) — the host pulls [2, W, k] in ONE
+    blocking round trip instead of [W, V] (this environment's host link is
+    ~MB/s and each blocking pull pays full tunnel latency: the full-logits
+    pull measured 160 ms/beam-step r4, and the two-array pull two RTTs r5).
+    EXACT for beam selection: any candidate in the global top-2W must rank
+    <= 2W within its own row, so per-row top-2W loses nothing (incl. eos
+    entries)."""
     lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1, keepdims=True)
     v, i = jax.lax.top_k(logits.astype(jnp.float32), k)
-    return v - lse, i
+    return jnp.stack([v - lse,
+                      jax.lax.bitcast_convert_type(i, jnp.float32)])
 
 
 def _norm(score: float, length: int, length_penalty: float) -> float:
@@ -159,9 +163,9 @@ def beam_search(
         # candidates from live beams only; top 2W so eos-absorbed picks
         # still leave W live continuations
         k2 = min(2 * W, cfg.vocab_size)
-        lp_d, li_d = _topk_logprobs(logits, k2)
-        lp = np.asarray(lp_d, np.float64)
-        li = np.asarray(li_d)
+        packed = np.asarray(_topk_logprobs(logits, k2))   # ONE blocking pull
+        lp = packed[0].astype(np.float64)
+        li = packed[1].view(np.int32)
         cand = np.full((W, k2), -np.inf)
         cand[live] = scores[live, None] + lp[live]
         order = np.argsort(-cand.reshape(-1), kind="stable")[:2 * W]

@@ -33,6 +33,14 @@ from ..models.model import Model
 from .batching import _prefill_kv
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _topk_packed(logits, k):
+    """[2, B, k] f32: per-row top-k values and bitcast token ids in one
+    array, so the sampling step's device->host pull is a single round trip."""
+    v, i = jax.lax.top_k(logits.astype(jnp.float32), k)
+    return jnp.stack([v, jax.lax.bitcast_convert_type(i, jnp.float32)])
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _copy_pool_page(pool, src, dst):
     """Copy one pool page's content (all layers/fields) — the private tail
@@ -522,8 +530,11 @@ class PagedMegaBatcher:
                                 for i in active
                                 if self.slot_sample[i] is not None])
             K = min(want, logits.shape[-1])
-            vals, idx = jax.lax.top_k(logits, K)
-            vals_np, idx_np = np.asarray(vals), np.asarray(idx)
+            # (values, bitcast ids) stacked on device -> ONE blocking pull
+            # per step (each pull pays full tunnel RTT on this host link)
+            packed = np.asarray(_topk_packed(logits, K))
+            vals_np = packed[0]
+            idx_np = packed[1].view(np.int32)
             pick = lambda i: self._pick_topk(i, vals_np[i], idx_np[i])
         out = {}
         for i in active:
