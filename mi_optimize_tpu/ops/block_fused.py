@@ -210,17 +210,16 @@ def _qdot(hp, words, s, b, bits, g_eff, tn):
     #   i8   : quantize the masked activation rows to int8 (per-row absmax)
     #          and dot int8 x int8 -> int32 in ONE pass at double MXU rate;
     #          rescale per group. W4A8-like numerics on the weight matmuls.
-    # Dot-pass selection (r5). The grouped dot's activation matrix has
-    # bsz*ng rows; Mosaic lowers an f32 x f32 dot as ~3 bf16 passes, so its
-    # MXU time scales as 3 * bsz * ng * (values) — invisible at bsz=1
-    # (hidden under the weight stream; f32 measured FASTEST there: 155.8 vs
-    # bf16 146.4) but BINDING for the chunk/batched kernels (C=10 -> 40
-    # rows ~ 10 ms of f32 MXU; B=8 -> 32 rows ~ 7 ms — both matching the
-    # r4-unexplained step overheads). bsz>1 therefore defaults to a
-    # single-pass bf16 dot: codes are exact in bf16, only the activation
-    # rounds (2^-9 rel, on top of an int4 grid).
+    # Dot-pass selection (r5 A/B, all measured end-to-end on v5e):
+    #   bsz=1  f32 155.8 tok/s > i8 154.1 > bf16 146.4 (int32->bf16/int8
+    #          repacks cost more VPU than any MXU-pass saving)
+    #   bsz=8  batched kernel-only: f32 11.93 ms ~= bf16 12.48 — the
+    #          hypothesized f32 multi-pass MXU cost is NOT binding at B=8
+    #          either; see scripts/exp_batched_breakdown.py.
+    # f32 stays the default everywhere; MI_DEQ_DOT / MI_DEQ_DOT_B keep the
+    # variants A/B-able.
     if bsz > 1:
-        dot_mode = os.environ.get("MI_DEQ_DOT_B", "bf16")
+        dot_mode = os.environ.get("MI_DEQ_DOT_B", "f32")
     else:
         dot_mode = os.environ.get("MI_DEQ_DOT", "f32")
     # MI_DEQ_CENTER=0 (r5 A/B): unpack RAW unsigned fields — shift+and is

@@ -427,10 +427,14 @@ def model_decode_flat_seg(stack, emb, x, cossin, cache, pos0, cfg, meta,
     tb = 256 if max_len % 256 == 0 else 128
     assert max_len % tb == 0
     nt = max_len // tb
-    # embed-gather tiling: (tv, hb) blocks of the [V, H] table
+    # embed-gather tiling: (tv, hb) blocks of the [V, H] table, capped at
+    # ~7MB per block — fetch blocks >= ~13MB/operand collapse the scoped-
+    # VMEM pipeline 2.6x (r4 sweep; re-hit r5: the f32 13MB gather block
+    # made a kseg=9 launch cost as much as 9 per-token launches)
+    cap = (7 * 1024 * 1024) // (tv * emb.dtype.itemsize)
     hb = 0
     for c in (1024, 512, 256, 128):
-        if h % c == 0:
+        if h % c == 0 and c <= cap:
             hb = c
             break
     assert hb and vocab % tv == 0

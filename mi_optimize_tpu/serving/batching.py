@@ -143,6 +143,9 @@ class ContinuousBatcher:
             if st is not None:
                 self._mega = st
                 self.cache = stack_cache_batched(self.cache)
+                from .megadecode import stack_lm
+
+                self._lm = stack_lm(model, st[1])  # r5 fused lm rows
         self.positions = np.zeros(n_slots, np.int64)  # next write index per slot
         self.last_token = np.zeros(n_slots, np.int64)
         self.slot_req: List[Optional[Request]] = [None] * n_slots
@@ -192,10 +195,12 @@ class ContinuousBatcher:
             from .megadecode import model_step_batch
 
             stack, meta = self._mega
+            lm, lm_meta = (self._lm if getattr(self, "_lm", None) is not None
+                           else (None, None))
             logits, self.cache = model_step_batch(
                 self.model.params, stack, meta, self.cfg,
                 jnp.asarray(self.last_token[:, None]), self.cache,
-                jnp.asarray(self.positions),
+                jnp.asarray(self.positions), lm=lm, lm_meta=lm_meta,
                 interpret=jax.default_backend() != "tpu")
         else:
             logits, self.cache = decode_step_multi(

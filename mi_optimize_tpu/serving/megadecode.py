@@ -73,6 +73,49 @@ def stack_serving(model: Model):
     return stack, meta
 
 
+def stack_lm(model: Model, meta):
+    """(lm arrays dict, static lm_meta) for the batched kernel's terminal
+    lm_head rows (r5), or None — same contract as the flat kernel's lm
+    phase (ops/model_flat.stack_flat_params): packed symmetric-grid
+    lm_head, all-layer-constant zero, group divisible by values/word."""
+    from ..core.qparams import qrange
+    from ..ops.block_fused import _pad_rows8, _scales_t
+    from ..ops.model_flat import _pick_tv
+
+    bits = meta[0]
+    lin = model.params.get("lm_head")
+    cfg = model.config
+    if lin is None or getattr(lin, "packed", None) is None:
+        return None
+    s = lin.spec
+    if s.wbit != bits or s.abit is not None or lin.bias is not None \
+            or lin.smooth_factor is not None or lin.perm is not None:
+        return None
+    if s.w_qtype not in ("per_group", "per_channel"):
+        return None
+    g_ue = (s.w_groupsize if s.w_qtype == "per_group" and s.w_groupsize > 0
+            else lin.in_features)
+    vpw = 32 // bits
+    if g_ue % vpw or cfg.hidden_size % g_ue:
+        return None
+    from ..ops.block_fused import CH
+
+    if cfg.hidden_size % CH:
+        return None
+    tv = _pick_tv(lin.out_features)
+    if not tv:
+        return None
+    z = jnp.reshape(lin.w_zero, (-1,))
+    if not bool(jax.device_get(jnp.all(z == z[0]))):
+        return None
+    zc_ue = float(jax.device_get(z[0])) - float(
+        qrange(s.wbit, s.w_unsigned).qmin)
+    ues, _, _ = _scales_t(lin)
+    lm = {"ue": lin.packed, "ues": _pad_rows8(ues),
+          "fnorm": jnp.reshape(model.params["final_norm"], (1, -1))}
+    return lm, (g_ue, zc_ue, lin.out_features, tv)
+
+
 def init_cache_stacked(cfg, max_len: int):
     """Stacked int8 KV cache: [L, T, Hkv, D] values + [L, T, Hkv] scales."""
     shape = (cfg.num_layers, max_len, cfg.num_kv_heads, cfg.head_dim)
@@ -242,9 +285,9 @@ def _scatter_chunk_rows(cache, krows, vrows, ksr, vsr, prefix):
     }
 
 
-@partial(jax.jit, static_argnames=("cfg", "meta", "interpret"))
+@partial(jax.jit, static_argnames=("cfg", "meta", "interpret", "lm_meta"))
 def model_step_chunk(params, stack, meta, cfg, tokens, cache, prefix,
-                     interpret=False):
+                     interpret=False, lm=None, lm_meta=None):
     """Whole-model CHUNK step (round 3): score C consecutive tokens of ONE
     sequence (positions prefix..prefix+C-1) in one pallas launch — ONE weight
     stream for the whole chunk, with intra-chunk causal attention inside the
@@ -262,13 +305,17 @@ def model_step_chunk(params, stack, meta, cfg, tokens, cache, prefix,
     x = llama.embed(params, tokens).reshape(C, 1, h)
     positions = prefix + jnp.arange(C, dtype=jnp.int32)
     cos, sin = llama.rope_tables(cfg, positions[:, None])
-    xo, krows, vrows, ksr, vsr = model_decode_mega_batch(
+    outs = model_decode_mega_batch(
         stack, x, cos.reshape(C, -1)[:, -cfg.head_dim:],
         sin.reshape(C, -1)[:, -cfg.head_dim:],
-        cache, positions, cfg, meta, interpret=interpret, chunk=C)
+        cache, positions, cfg, meta, interpret=interpret, chunk=C,
+        lm=lm, lm_meta=lm_meta)
+    xo, krows, vrows, ksr, vsr = outs[:5]
     krows, vrows, ksr, vsr = jax.lax.optimization_barrier(
         (krows, vrows, ksr, vsr))
     cache = _scatter_chunk_rows(cache, krows, vrows, ksr, vsr, prefix)
+    if lm is not None:          # r5: C-row lm_head fused in terminal rows
+        return outs[5], cache
     hh = llama.rms_norm(xo.reshape(1, C, h), params["final_norm"], cfg.rms_eps)
     logits = llama.unembed(params, cfg, hh, fused=not interpret)[0]
     return logits, cache
@@ -370,9 +417,10 @@ def model_step_chunk_batch_paged(params, stack, meta, cfg, tokens, pool,
     return logits, pool
 
 
-@partial(jax.jit, static_argnames=("cfg", "meta", "interpret"))
+@partial(jax.jit, static_argnames=("cfg", "meta", "interpret", "lm_meta"))
 def model_step_batch_paged(params, stack, meta, cfg, tokens, pool, table,
-                           positions, interpret=False):
+                           positions, interpret=False, lm=None,
+                           lm_meta=None):
     """model_step_batch over a shared KV page pool (round 3, VERDICT item 8):
     tokens [B,1], table [B, pps], positions [B] -> (logits [B,V], pool).
     Same one-launch weight stream; attention blocks fetch through the page
@@ -382,13 +430,17 @@ def model_step_batch_paged(params, stack, meta, cfg, tokens, pool, table,
     B = tokens.shape[0]
     x = llama.embed(params, tokens)
     cos, sin = llama.rope_tables(cfg, positions[:, None])
-    x, krows, vrows, ksr, vsr = model_decode_mega_batch(
+    outs = model_decode_mega_batch(
         stack, x, cos.reshape(B, -1)[:, -cfg.head_dim:],
         sin.reshape(B, -1)[:, -cfg.head_dim:],
-        pool, positions, cfg, meta, interpret=interpret, table=table)
+        pool, positions, cfg, meta, interpret=interpret, table=table,
+        lm=lm, lm_meta=lm_meta)
+    x, krows, vrows, ksr, vsr = outs[:5]
     krows, vrows, ksr, vsr = jax.lax.optimization_barrier(
         (krows, vrows, ksr, vsr))
     pool = _scatter_rows_paged(pool, krows, vrows, ksr, vsr, table, positions)
+    if lm is not None:          # r5: B-row lm_head fused in terminal rows
+        return outs[5], pool
     h = llama.rms_norm(x, params["final_norm"], cfg.rms_eps)
     logits = llama.unembed(params, cfg, h, fused=not interpret)[:, 0]
     return logits, pool
@@ -424,9 +476,9 @@ def scatter_prefill_pages(pool, kvs, pages, valid, cfg):
     }
 
 
-@partial(jax.jit, static_argnames=("cfg", "meta", "interpret"))
+@partial(jax.jit, static_argnames=("cfg", "meta", "interpret", "lm_meta"))
 def model_step_batch(params, stack, meta, cfg, tokens, cache, positions,
-                     interpret=False):
+                     interpret=False, lm=None, lm_meta=None):
     """One B-slot decode step: tokens [B,1], positions [B] -> (logits [B,V],
     cache). ONE pallas launch for the whole decoder stack — weights stream
     once for all B slots."""
@@ -435,13 +487,17 @@ def model_step_batch(params, stack, meta, cfg, tokens, cache, positions,
     B = tokens.shape[0]
     x = llama.embed(params, tokens)                     # [B, 1, h]
     cos, sin = llama.rope_tables(cfg, positions[:, None])
-    x, krows, vrows, ksr, vsr = model_decode_mega_batch(
+    outs = model_decode_mega_batch(
         stack, x, cos.reshape(B, -1)[:, -cfg.head_dim:],
         sin.reshape(B, -1)[:, -cfg.head_dim:],
-        cache, positions, cfg, meta, interpret=interpret)
+        cache, positions, cfg, meta, interpret=interpret,
+        lm=lm, lm_meta=lm_meta)
+    x, krows, vrows, ksr, vsr = outs[:5]
     krows, vrows, ksr, vsr = jax.lax.optimization_barrier(
         (krows, vrows, ksr, vsr))
     cache = _scatter_rows_batched(cache, krows, vrows, ksr, vsr, positions)
+    if lm is not None:          # r5: B-row lm_head fused in terminal rows
+        return outs[5], cache
     h = llama.rms_norm(x, params["final_norm"], cfg.rms_eps)
     logits = llama.unembed(params, cfg, h, fused=not interpret)[:, 0]
     return logits, cache

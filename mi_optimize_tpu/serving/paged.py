@@ -200,6 +200,12 @@ class PagedMegaBatcher:
         self.model = model
         self.cfg = model.config
         self._mega = st
+        # r5: fused terminal lm_head rows (B-row rms+unembed+argmax
+        # in-kernel) when the lm_head satisfies the packed symmetric
+        # contract; None falls back to the XLA lm_head
+        from .megadecode import stack_lm
+
+        self._lm = stack_lm(model, st[1])
         self.page_size = page_size
         self.max_len = min(max_len, self.cfg.max_seq_len)
         self.pps = self.max_len // page_size
@@ -508,11 +514,12 @@ class PagedMegaBatcher:
                     raise RuntimeError("KV page pool exhausted")
                 self.table[i, j] = pg[0]
         stack, meta = self._mega
+        lm, lm_meta = self._lm if self._lm is not None else (None, None)
         logits, self.pool = model_step_batch_paged(
             self.model.params, stack, meta, self.cfg,
             jnp.asarray(self.last_token[:, None]), self.pool,
             jnp.asarray(self.table), jnp.asarray(self.positions),
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu", lm=lm, lm_meta=lm_meta)
         # compact pull (r4): this environment's host link is ~MB/s, so the
         # full [B, V] logits pull dominated the step (67 vs 18 ms measured).
         # Greedy slots need only the device argmax; sampling slots get the

@@ -182,10 +182,10 @@ def _spec_loop_mega(tparams, dparams, dstack, dmeta, tcfg, dcfg, tcache, dcache,
 
 
 @partial(jax.jit, static_argnames=("tcfg", "dcfg", "tmeta", "dmeta", "k", "m",
-                                   "interpret"))
+                                   "interpret", "tlm_meta"))
 def _spec_scan_flat(tparams, dparams, tstack, dstack, tmeta, dmeta,
                     tcfg, dcfg, tcache, dcache, last_tok, pos0, k, m,
-                    interpret=False):
+                    interpret=False, tlm=None, tlm_meta=None):
     """m propose->verify->accept rounds as a lax.scan SEGMENT, with the
     draft on the FLAT kernel (round 4).
 
@@ -223,7 +223,8 @@ def _spec_scan_flat(tparams, dparams, tstack, dstack, tmeta, dmeta,
         props = toks[:k].astype(jnp.int32)     # k proposals (+1 ingest row)
         chunk = jnp.concatenate([last[None], props])[None]
         vlogits, tc = model_step_chunk(tparams, tstack, tmeta, tcfg, chunk,
-                                       tc, pos, interpret)
+                                       tc, pos, interpret, lm=tlm,
+                                       lm_meta=tlm_meta)
         ver = jnp.argmax(vlogits, -1).astype(jnp.int32)
         match = ver[:k] == props
         n_accept = jnp.where(match.all(), k,
@@ -352,6 +353,10 @@ def speculative_generate(
             # amortize. Re-dispatch only on acceptance shortfall.
             tstack, tmeta = tm
             dstack_f, dmeta_f = dfl
+            from .megadecode import stack_lm
+
+            tlmres = stack_lm(target, tmeta)   # r5: fused C-row verify lm
+            tlm, tlm_meta = tlmres if tlmres is not None else (None, None)
             tcc = stack_cache_batched(tcache)
             dcc = stack_cache_flat(dcache)
             need = max_new_tokens - 1
@@ -390,7 +395,7 @@ def speculative_generate(
                 emits, naccs, last, pos, tcc, dcc = _spec_scan_flat(
                     target.params, draft.params, tstack, dstack_f, tmeta,
                     dmeta_f, cfg, draft.config, tcc, dcc, last, pos, k, m,
-                    interpret=interp)
+                    interpret=interp, tlm=tlm, tlm_meta=tlm_meta)
                 emits = np.asarray(emits)
                 naccs = np.asarray(naccs)
                 for i in range(m):

@@ -22,6 +22,8 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,7 +34,7 @@ from mi_optimize_tpu.models.llama import LlamaConfig
 from mi_optimize_tpu.models.model import Model
 from mi_optimize_tpu.serving import fuse_for_serving, init_cache
 from mi_optimize_tpu.serving.megadecode import (
-    model_step_batch, stack_cache_batched, stack_serving)
+    model_step_batch, stack_cache_batched, stack_lm, stack_serving)
 
 B, T, N = 8, 512, 16
 cfg = LlamaConfig.llama2_7b()
@@ -42,6 +44,8 @@ model = fuse_for_serving(Model(
     family="llama"))
 params = model.params
 stack, meta = stack_serving(model)
+lmres = stack_lm(model, meta)
+LM, LM_META = lmres if lmres is not None else (None, None)
 
 # batched stacked cache built directly on device (host link is ~MB/s);
 # HEAD-TRANSPOSED layout [L, B, Hkv, T, D] per stack_cache_batched
@@ -71,11 +75,15 @@ def timeit(name, fn):
     return ms
 
 
-@jax.jit
-def full_loop(params, stack, toks, cache, pos):
+@partial(jax.jit, static_argnames=("use_lm",))
+def full_loop(params, stack, toks, cache, pos, use_lm=False):
+    lm = LM if use_lm else None
+    lm_meta = LM_META if use_lm else None
+
     def step(carry, _):
         t, c, p = carry
-        logits, c = model_step_batch(params, stack, meta, cfg, t, c, p)
+        logits, c = model_step_batch(params, stack, meta, cfg, t, c, p,
+                                     lm=lm, lm_meta=lm_meta)
         nt = jnp.argmax(logits, -1).astype(t.dtype)[:, None]
         return (nt, c, p + 1), nt[0, 0]
 
@@ -124,6 +132,22 @@ def mega_scatter(params, stack, toks, cache, pos):
 
 
 @jax.jit
+def scatter_loop(params, cache, pos):
+    from mi_optimize_tpu.serving.megadecode import _scatter_rows_batched
+
+    kr = jnp.ones((L, B, cfg.num_kv_heads, cfg.head_dim), jnp.int8)
+    ks = jnp.ones((L, B, cfg.num_kv_heads), jnp.float32)
+
+    def step(carry, _):
+        c, p = carry
+        c = _scatter_rows_batched(c, kr, kr, ks, ks, p)
+        return (c, p + 1), c["k"][0, 0, 0, 0, 0]
+
+    (_, _), xs = jax.lax.scan(step, (cache, pos), None, length=N)
+    return xs
+
+
+@jax.jit
 def lm_head_loop(params, toks):
     x0 = llama.embed(params, toks).astype(jnp.float32)
 
@@ -157,5 +181,12 @@ timeit("mega_plus_scatter_B8", lambda: float(np.asarray(
 timeit("lm_head_B8_argmax", lambda: int(np.asarray(
     lm_head_loop(params, toks))[-1]))
 timeit("embed_B8", lambda: float(np.asarray(embed_loop(params, toks))[-1]))
+timeit("scatter_only_B8", lambda: int(np.asarray(
+    scatter_loop(params, cache, pos_shallow))[-1]))
 timeit("full_step_B8_deep", lambda: int(np.asarray(
     full_loop(params, stack, toks, cache, pos_deep))[-1]))
+if LM is not None:
+    timeit("full_step_B8_fused_lm", lambda: int(np.asarray(
+        full_loop(params, stack, toks, cache, pos_shallow, use_lm=True))[-1]))
+    timeit("full_step_B8_deep_fused_lm", lambda: int(np.asarray(
+        full_loop(params, stack, toks, cache, pos_deep, use_lm=True))[-1]))
