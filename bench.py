@@ -86,7 +86,15 @@ def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu:
         cfg = LlamaConfig.llama2_7b()
-        prompt_len, n_decode = 128, 32
+        # n_decode=128 (r5; was 32): each timed pass is ONE dispatch, and
+        # this tunnel's dispatch+pull round trip measured ~23-24 ms (scale-N
+        # fit, BENCH_DETAILS r5) — at 32 tokens that inflated the recorded
+        # step by 0.75 ms/token (6.45 vs the 5.60 ms device-true). A 128-
+        # token window amortizes the artifact to <0.2 ms/token and is the
+        # realistic serving regime (requests decode hundreds of tokens
+        # without host sync). Device-true rate is ALSO reported (two-point
+        # fit vs a short window) in the kernels record.
+        prompt_len, n_decode = 128, 128
         groupsize = 128
     else:  # CPU smoke fallback keeps the harness runnable anywhere
         cfg = LlamaConfig.tiny(hidden_size=128, intermediate_size=256, head_dim=32)
@@ -149,6 +157,29 @@ def main():
         dt = min(dt, time.perf_counter() - t0)
     toks_per_s = n_decode * batch / dt
 
+    # device-true decomposition (r5): a second, SHORT decode window gives a
+    # two-point fit total(N) = rtt + N * device_ms — separating the
+    # tunnel's per-dispatch round trip from the per-token device cost.
+    # One extra compile; MI_BENCH_RTT=0 skips.
+    rtt_ms = dev_ms = None
+    if on_tpu and fl is not None and os.environ.get("MI_BENCH_RTT", "1") != "0":
+        try:
+            n_short = 16
+            run_s = lambda: decode_loop_flat(params, fstack, fmeta, cfg, tok,
+                                             fcache, pos0, n_short)[0]
+            ts = run_s()
+            _ = int(ts[0, -1])
+            dts = float("inf")
+            for _rep in range(3):
+                t0 = time.perf_counter()
+                ts = run_s()
+                _ = int(ts[0, -1])
+                dts = min(dts, time.perf_counter() - t0)
+            dev_ms = (dt - dts) * 1e3 / (n_decode - n_short)
+            rtt_ms = dts * 1e3 - n_short * dev_ms
+        except Exception:
+            pass
+
     # roofline: one full packed-weight read per token
     wbytes = 0
     for leaf in jax.tree.leaves(params):
@@ -163,6 +194,10 @@ def main():
         "unit": "tokens/s",
         "vs_baseline": round(toks_per_s / sol_tokens_per_s, 4),
     }
+    if dev_ms is not None:
+        record["dispatch_rtt_ms"] = round(rtt_ms, 1)
+        record["device_ms_per_token"] = round(dev_ms, 3)
+        record["device_true_tokens_per_s"] = round(1e3 / dev_ms, 1)
 
     # per-kernel roofline accounting (machine-recorded; VERDICT r2 item 9) —
     # one extra compile (~60s on the relay); MI_BENCH_KERNELS=0 skips it.

@@ -35,16 +35,16 @@ from .engine import decode_loop, decode_step, init_cache, prefill, prefill_chunk
 
 
 #: adaptive-k candidate set and default cost model (round 5, VERDICT item
-#: 6). Costs are milliseconds per scan-flat round on this chip (r4/r5
-#: measurements: C=10 chunk verify ~20 ms with the stream itself ~6.6 ms —
-#: so a k-dependent verify slope; flat-seg draft ~0.5-0.6 ms per drafted
-#: token for a 2-layer draft): round_cost(k) ~= verify_base_ms +
-#: (verify_ms_per_tok + draft_ms_per_tok) * (k+1). Only the RATIOS matter
-#: for the argmax; callers can override via
-#: speculative_generate(cost_model=...).
+#: 6). Costs are TRUE DEVICE milliseconds per scan-flat round on this chip
+#: after the r5 RTT decomposition (dispatch+pull round trip ~24 ms is paid
+#: per DISPATCH, not per round): C=10 chunk verify 12.0 ms (72.2/4-call
+#: scan minus RTT), in-scan flat draft 0.45 ms/token (2-layer 7B-shape):
+#: round_cost(k) ~= verify_base_ms + (verify_ms_per_tok +
+#: draft_ms_per_tok) * (k+1). Only the RATIOS matter for the argmax;
+#: callers can override via speculative_generate(cost_model=...).
 ADAPT_KSET = (2, 4, 8)
-ADAPT_COST = {"verify_base_ms": 12.0, "verify_ms_per_tok": 0.8,
-              "draft_ms_per_tok": 0.6}
+ADAPT_COST = {"verify_base_ms": 9.0, "verify_ms_per_tok": 0.3,
+              "draft_ms_per_tok": 0.5}
 
 
 def _best_k(q_hat: float, kset=ADAPT_KSET, cost=None) -> int:
@@ -206,21 +206,29 @@ def _spec_scan_flat(tparams, dparams, tstack, dstack, tmeta, dmeta,
     dcache: FLAT merged layout (flatdecode.stack_cache_flat). Returns
     (emit [m, k+1], n_acc [m], last, pos, tcache, dcache) — row i holds the
     i-th round's accepted tokens + bonus (n_acc[i]+1 valid entries)."""
-    from .flatdecode import _flat_seg_step
+    from .flatdecode import _flat_step
     from .megadecode import model_step_chunk
 
     def round_(carry, _):
         last, pos, tc, dc = carry
 
-        # ONE multi-token launch drafts all k proposals AND ingests the
-        # k+1 cache rows (round 5: ops/model_flat_seg.py — in-kernel embed
-        # of each argmax, segment attention in VMEM, one scatter per field).
-        # Replaces the k+1-step _flat_step scan whose per-launch glue a
-        # 2-layer draft cannot amortize (3.58 ms/step vs 0.4 ms weights).
-        toks, dc = _flat_seg_step(dparams, dstack, dmeta, dcfg,
-                                  last[None, None], dc, pos, k + 1,
-                                  interpret)
-        props = toks[:k].astype(jnp.int32)     # k proposals (+1 ingest row)
+        # k+1 per-token flat steps INSIDE this scan dispatch. Round 5's
+        # RTT decomposition (scripts/exp_small_model_cost.py + the scale-N
+        # probe) showed r4's "3.58 ms/step draft" was ~pure dispatch+pull
+        # round trip (~24 ms/dispatch on this tunnel): the true in-scan
+        # draft step is 0.45 ms/token. The multi-token segment kernel
+        # (ops/model_flat_seg.py) was built against the phantom floor and
+        # measures WORSE here (its in-kernel embed gather re-streams the
+        # embedding table, ~0.5 ms/token) — kept as an alternative path.
+        def dstep(c, i):
+            tok, dc_ = c
+            nt, _, dc_ = _flat_step(dparams, dstack, dmeta, dcfg,
+                                    tok[None, None], dc_, pos + i, interpret)
+            return (nt.astype(jnp.int32), dc_), nt.astype(jnp.int32)
+
+        (lastk, dc), props = jax.lax.scan(dstep, (last, dc),
+                                          jnp.arange(k + 1))
+        props = props[:k]                      # k proposals (+1 ingest step)
         chunk = jnp.concatenate([last[None], props])[None]
         vlogits, tc = model_step_chunk(tparams, tstack, tmeta, tcfg, chunk,
                                        tc, pos, interpret, lm=tlm,

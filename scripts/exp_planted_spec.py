@@ -38,7 +38,8 @@ if os.environ.get("MI_SMOKE"):
     NEW = 8
 else:
     cfg = LlamaConfig.llama2_7b()
-    NEW = 64
+    NEW = 128   # r5: single-dispatch windows carry a ~24 ms dispatch+pull
+                # RTT (BENCH_DETAILS r5); 128 tokens amortizes it <10%/side
 rng = np.random.default_rng(0)
 prompt = rng.integers(0, cfg.vocab_size, (1, 64))
 
@@ -101,7 +102,7 @@ from mi_optimize_tpu.serving.megadecode import (
     decode_loop_model, stack_cache, stack_serving)
 
 st = stack_serving(target)
-cache = init_cache(cfg, 1, 256, jnp.int8)
+cache = init_cache(cfg, 1, 384, jnp.int8)
 logits, cache = prefill(target.params, cfg, jnp.asarray(prompt), cache,
                         jax.default_backend() == "tpu")
 first = jnp.argmax(logits, -1)[:, None]
@@ -130,18 +131,21 @@ import gc
 # produced the apparent 3x loss: scripts/exp_spec_roundcost.py measured the
 # segment itself at ~20 ms/round vs 184 for the while_loop variant.)
 from mi_optimize_tpu.serving.flatdecode import stack_cache_flat, stack_flat
-from mi_optimize_tpu.serving.megadecode import stack_cache_batched
+from mi_optimize_tpu.serving.megadecode import stack_cache_batched, stack_lm
 from mi_optimize_tpu.serving.speculative import _spec_scan_flat
+
+tlmres = stack_lm(target, st[1])    # r5: fused C-row verify lm_head
+TLM, TLM_META = tlmres if tlmres is not None else (None, None)
 
 for k in (4, 8):
     for name, d in (("alpha~1.0", draft_hi), ("alpha~0.7", draft_lo)):
         dst_d, dmeta_d = stack_serving(d)
         dfl = stack_flat(d, (dst_d, dmeta_d))
         assert dfl is not None
-        dc0 = init_cache(d.config, 1, 256, jnp.int8)
+        dc0 = init_cache(d.config, 1, 384, jnp.int8)
         _, dc0 = prefill(d.params, d.config, jnp.asarray(prompt), dc0, True)
         fdc = stack_cache_flat(dc0)
-        tc0 = init_cache(cfg, 1, 256, jnp.int8)
+        tc0 = init_cache(cfg, 1, 384, jnp.int8)
         lg, tc0 = prefill(target.params, cfg, jnp.asarray(prompt), tc0, True)
         stc = stack_cache_batched(tc0)
         first_tok = jnp.asarray(jnp.argmax(lg, -1).reshape(-1)[0], jnp.int32)
@@ -151,7 +155,8 @@ for k in (4, 8):
             emits, naccs, last, pos, _tc, _dc = _spec_scan_flat(
                 target.params, d.params, st[0], dfl[0], st[1], dfl[1],
                 cfg, d.config, stc, fdc, first_tok,
-                jnp.asarray(prompt.shape[1]), k, M)
+                jnp.asarray(prompt.shape[1]), k, M,
+                tlm=TLM, tlm_meta=TLM_META)
             return np.asarray(emits), np.asarray(naccs)
 
         emits, naccs = seg()
@@ -177,3 +182,32 @@ for k in (4, 8):
         }), flush=True)
         dst_d = dfl = fdc = stc = dc0 = tc0 = None
         gc.collect()
+
+
+# ---- adaptive k vs fixed k at mid-alpha (r5, VERDICT item 6) -------------
+# Same methodology for all three (speculative_generate whole, second call
+# timed — each pays its own prefills identically), 2L draft with 30% of the
+# planted map redirected (per-token agreement q ~ 0.7).
+st = None
+gc.collect()
+
+for kk in (4, 8, "auto"):
+    def run(kk=kk):
+        return speculative_generate(target, draft_lo, prompt,
+                                    max_new_tokens=NEW, k=kk, fused=True,
+                                    cache_dtype=jnp.int8,
+                                    draft_megakernel=True)
+
+    toks, stats = run()
+    t0 = time.perf_counter()
+    toks, stats = run()
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "what": f"specdec-generate k={kk} 2L-draft alpha~0.7",
+        "tokens_per_s": round(NEW / dt, 2),
+        "accept_rate": round(stats["accept_rate"], 3),
+        **({"adaptive_k": stats.get("adaptive_k"),
+            "q_hat": round(stats.get("q_hat", 0), 3)} if kk == "auto"
+           else {}),
+    }), flush=True)
+    gc.collect()
