@@ -143,9 +143,13 @@ class ContinuousBatcher:
             if st is not None:
                 self._mega = st
                 self.cache = stack_cache_batched(self.cache)
+                import os
+
                 from .megadecode import stack_lm
 
-                self._lm = stack_lm(model, st[1])  # r5 fused lm rows
+                # r5 fused lm rows: opt-in (measured slower at B=8 on-chip)
+                self._lm = (stack_lm(model, st[1])
+                            if os.environ.get("MI_FUSED_LM") == "1" else None)
         self.positions = np.zeros(n_slots, np.int64)  # next write index per slot
         self.last_token = np.zeros(n_slots, np.int64)
         self.slot_req: List[Optional[Request]] = [None] * n_slots
@@ -192,7 +196,8 @@ class ContinuousBatcher:
         if not active:
             return {}
         if self._mega is not None:
-            from .megadecode import model_step_batch
+            from .megadecode import model_step_batch_donated \
+                as model_step_batch
 
             stack, meta = self._mega
             lm, lm_meta = (self._lm if getattr(self, "_lm", None) is not None

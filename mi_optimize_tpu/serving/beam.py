@@ -76,7 +76,9 @@ def beam_search(
     megakernel launch. A finished hypothesis (eos) leaves the beam set and
     its slot is re-used by the next-best live candidate."""
     from .engine import init_cache, prefill
-    from .megadecode import (init_pool_batched, model_step_batch_paged,
+    from .megadecode import (init_pool_batched,
+                             model_step_batch_paged_donated
+                             as model_step_batch_paged,
                              scatter_prefill_pages, stack_serving)
     from .paged import _copy_pool_page
 

@@ -691,6 +691,19 @@ def model_step_batch_tp(params, gstack, meta, cfg, tokens, cache, positions,
     return logits, cache
 
 
+# Donated-buffer variants (r5): the host-loop batchers call these once per
+# step; without donation XLA must COPY the cache/pool before the row
+# scatters (measured ~4 ms/step at B=8 T=512 dense — the scatter itself is
+# ~0.25 ms). Tests/experiments that REUSE a cache across calls must keep
+# the non-donated originals.
+model_step_batch_donated = partial(
+    jax.jit, static_argnames=("cfg", "meta", "interpret", "lm_meta"),
+    donate_argnums=(5,))(model_step_batch.__wrapped__)
+model_step_batch_paged_donated = partial(
+    jax.jit, static_argnames=("cfg", "meta", "interpret", "lm_meta"),
+    donate_argnums=(5,))(model_step_batch_paged.__wrapped__)
+
+
 def model_step_batch_paged_tp(params, gstack, meta, cfg, tokens, pool, table,
                               positions, mesh, axis="model", interpret=False):
     """Paged + in-kernel tensor parallelism (round 3 serving composition):

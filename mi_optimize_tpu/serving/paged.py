@@ -201,11 +201,16 @@ class PagedMegaBatcher:
         self.cfg = model.config
         self._mega = st
         # r5: fused terminal lm_head rows (B-row rms+unembed+argmax
-        # in-kernel) when the lm_head satisfies the packed symmetric
-        # contract; None falls back to the XLA lm_head
+        # in-kernel) — measured SLOWER for the B=8 batched step on-chip
+        # (19.7 vs 16.2 ms; the 2x6.5MB double-buffered lm tiles push the
+        # B=8 kernel past the VMEM pipeline cliff), so OPT-IN via
+        # MI_FUSED_LM=1; None falls back to the XLA lm_head
+        import os
+
         from .megadecode import stack_lm
 
-        self._lm = stack_lm(model, st[1])
+        self._lm = (stack_lm(model, st[1])
+                    if os.environ.get("MI_FUSED_LM") == "1" else None)
         self.page_size = page_size
         self.max_len = min(max_len, self.cfg.max_seq_len)
         self.pps = self.max_len // page_size
@@ -500,7 +505,8 @@ class PagedMegaBatcher:
         return rids if n > 1 else rids[0]
 
     def step(self) -> Dict[int, int]:
-        from .megadecode import model_step_batch_paged
+        from .megadecode import model_step_batch_paged_donated \
+            as model_step_batch_paged
 
         active = [i for i, r in enumerate(self.slot_req) if r is not None]
         if not active:
