@@ -43,7 +43,12 @@ from .engine import decode_loop, decode_step, init_cache, prefill, prefill_chunk
 #: draft_ms_per_tok) * (k+1). Only the RATIOS matter for the argmax;
 #: callers can override via speculative_generate(cost_model=...).
 ADAPT_KSET = (2, 4, 8)
-ADAPT_COST = {"verify_base_ms": 9.0, "verify_ms_per_tok": 0.3,
+#: measured scan-flat round costs on v5e (exp_planted_spec r5: k=4 rounds
+#: 11.7-12.2 ms with the fused-lm verify + in-scan flat draft; k=8 rounds
+#: 43.7 ms — the C=9 fused verify crosses a VMEM pipeline cliff). Unlisted
+#: k fall back to the analytic model below.
+ADAPT_COST = {"round_ms": {2: 10.5, 4: 12.0, 8: 43.7},
+              "verify_base_ms": 9.0, "verify_ms_per_tok": 0.3,
               "draft_ms_per_tok": 0.5}
 
 
@@ -51,15 +56,19 @@ def _best_k(q_hat: float, kset=ADAPT_KSET, cost=None) -> int:
     """k maximizing expected emitted tokens per unit round cost under a
     per-token-agreement model: a round with chunk k emits
     E[n_accept]+1 = (1 - q^(k+1)) / (1 - q) tokens (truncated-geometric
-    acceptance, per-token agreement q)."""
+    acceptance, per-token agreement q). Round costs come from the MEASURED
+    per-k table when available (the analytic linear model underestimated
+    k=8 by ~3x on-chip), else the linear model."""
     c = cost or ADAPT_COST
     q = min(max(q_hat, 0.0), 0.999)
+    table = c.get("round_ms", {})
 
     def rate(k):
         e = (k + 1) if q > 0.998 else (1.0 - q ** (k + 1)) / (1.0 - q)
-        return e / (c["verify_base_ms"]
-                    + (c["verify_ms_per_tok"] + c["draft_ms_per_tok"])
-                    * (k + 1))
+        ms = table.get(k, c["verify_base_ms"]
+                       + (c["verify_ms_per_tok"] + c["draft_ms_per_tok"])
+                       * (k + 1))
+        return e / ms
 
     return max(kset, key=rate)
 
@@ -399,7 +408,11 @@ def speculative_generate(
             while len(emitted) < need:
                 m = _seg_len(need - len(emitted), k)
                 if adaptive:
-                    m = min(m, 4)
+                    # cap 8 rounds/dispatch: enough to adapt between
+                    # dispatches without multiplying the per-dispatch RTT
+                    # (~24 ms on this tunnel; the r5 first cut capped at 4
+                    # and the extra dispatches erased the policy's win)
+                    m = min(m, 8)
                 emits, naccs, last, pos, tcc, dcc = _spec_scan_flat(
                     target.params, draft.params, tstack, dstack_f, tmeta,
                     dmeta_f, cfg, draft.config, tcc, dcc, last, pos, k, m,

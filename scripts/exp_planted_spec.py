@@ -191,23 +191,28 @@ for k in (4, 8):
 st = None
 gc.collect()
 
-for kk in (4, 8, "auto"):
-    def run(kk=kk):
-        return speculative_generate(target, draft_lo, prompt,
-                                    max_new_tokens=NEW, k=kk, fused=True,
-                                    cache_dtype=jnp.int8,
-                                    draft_megakernel=True)
+m_vlo = planted_map(cfg.vocab_size, disagree_frac=0.55)
+draft_vlo = fuse_for_serving(Model(
+    config=dcfg, params=build_planted_llama(dcfg, m_vlo), family="llama"))
 
-    toks, stats = run()
-    t0 = time.perf_counter()
-    toks, stats = run()
-    dt = time.perf_counter() - t0
-    print(json.dumps({
-        "what": f"specdec-generate k={kk} 2L-draft alpha~0.7",
-        "tokens_per_s": round(NEW / dt, 2),
-        "accept_rate": round(stats["accept_rate"], 3),
-        **({"adaptive_k": stats.get("adaptive_k"),
-            "q_hat": round(stats.get("q_hat", 0), 3)} if kk == "auto"
-           else {}),
-    }), flush=True)
-    gc.collect()
+for dname, dm in (("alpha~0.7", draft_lo), ("alpha~0.45", draft_vlo)):
+    for kk in (4, 8, "auto"):
+        def run(kk=kk, dm=dm):
+            return speculative_generate(target, dm, prompt,
+                                        max_new_tokens=NEW, k=kk, fused=True,
+                                        cache_dtype=jnp.int8,
+                                        draft_megakernel=True)
+
+        toks, stats = run()
+        t0 = time.perf_counter()
+        toks, stats = run()
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "what": f"specdec-generate k={kk} 2L-draft {dname}",
+            "tokens_per_s": round(NEW / dt, 2),
+            "accept_rate": round(stats["accept_rate"], 3),
+            **({"adaptive_k": stats.get("adaptive_k"),
+                "q_hat": round(stats.get("q_hat", 0), 3)} if kk == "auto"
+               else {}),
+        }), flush=True)
+        gc.collect()
