@@ -143,13 +143,12 @@ class ContinuousBatcher:
             if st is not None:
                 self._mega = st
                 self.cache = stack_cache_batched(self.cache)
-                import os
+                # r5 fused lm rows: opt-in via MI_FUSED_LM=1 (see
+                # megadecode.default_lm — the XLA lm_head overlaps the
+                # scan glue and beats the fused rows at B=8)
+                from .megadecode import default_lm
 
-                from .megadecode import stack_lm
-
-                # r5 fused lm rows: opt-in (measured slower at B=8 on-chip)
-                self._lm = (stack_lm(model, st[1])
-                            if os.environ.get("MI_FUSED_LM") == "1" else None)
+                self._lm = default_lm(model, st[1])
         self.positions = np.zeros(n_slots, np.int64)  # next write index per slot
         self.last_token = np.zeros(n_slots, np.int64)
         self.slot_req: List[Optional[Request]] = [None] * n_slots

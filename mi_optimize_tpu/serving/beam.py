@@ -89,6 +89,11 @@ def beam_search(
     cfg = model.config
     W = beam_width
     interp = jax.default_backend() != "tpu"
+    # fused terminal lm rows (r5, opt-in MI_FUSED_LM=1 — megadecode.
+    # default_lm); beam consumes full [W,V] logits either way
+    from .megadecode import default_lm
+
+    lm, lm_meta = default_lm(model, meta)
 
     P = page_size
     max_len = min(max_len or cfg.max_seq_len, cfg.max_seq_len)
@@ -160,7 +165,8 @@ def beam_search(
                 table[w, j] = alloc()
         logits, pool = model_step_batch_paged(
             model.params, stack, meta, cfg, jnp.asarray(last[:, None]), pool,
-            jnp.asarray(table), jnp.asarray(positions), interpret=interp)
+            jnp.asarray(table), jnp.asarray(positions), interpret=interp,
+            lm=lm, lm_meta=lm_meta)
         # device top-2W per beam (compact pull; see _topk_logprobs) —
         # candidates from live beams only; top 2W so eos-absorbed picks
         # still leave W live continuations

@@ -73,11 +73,16 @@ def stack_serving(model: Model):
     return stack, meta
 
 
-def stack_lm(model: Model, meta):
+def stack_lm(model: Model, meta, cap: int = 1280):
     """(lm arrays dict, static lm_meta) for the batched kernel's terminal
     lm_head rows (r5), or None — same contract as the flat kernel's lm
     phase (ops/model_flat.stack_flat_params): packed symmetric-grid
-    lm_head, all-layer-constant zero, group divisible by values/word."""
+    lm_head, all-layer-constant zero, group divisible by values/word.
+
+    cap: lm tile ceiling. The batched kernels default to 1280, NOT the
+    flat kernel's 3200: at B=8 the 2x6.5MB tv=3200 double-buffer crosses
+    the VMEM pipeline cliff (19.7 ms/step vs 15.1 at tv=1280, which beats
+    the XLA lm_head's 16.25 — exp_lm_tile_c9.py r5). MI_TV overrides."""
     from ..core.qparams import qrange
     from ..ops.block_fused import _pad_rows8, _scales_t
     from ..ops.model_flat import _pick_tv
@@ -102,7 +107,7 @@ def stack_lm(model: Model, meta):
 
     if cfg.hidden_size % CH:
         return None
-    tv = _pick_tv(lin.out_features)
+    tv = _pick_tv(lin.out_features, cap=cap)
     if not tv:
         return None
     z = jnp.reshape(lin.w_zero, (-1,))
@@ -178,6 +183,23 @@ def decode_loop_model(params, stack, meta, cfg, token, cache, pos0, n,
 # batched (B-slot) whole-model decode — continuous batching fast path
 # ---------------------------------------------------------------------------
 
+def default_lm(model: Model, meta):
+    """Fused terminal-lm default for the batchers/beam: OFF — opt in with
+    MI_FUSED_LM=1. With the unrolled-DUS scatter the non-fused B=8 step
+    measures 12.5 ms vs the fused 15.1 (exp_batched_breakdown r5): the
+    XLA lm_head (1.9 ms standalone) OVERLAPS the scan glue while the
+    in-kernel lm rows serialize ~3 ms after the last layer, at every lm
+    tile size swept (640/1280/3200 — exp_lm_tile_c9.py). The fused rows
+    stay the win for the spec-dec chunk verify at C <= 6, where the C-row
+    lm glue is serial (speculative.py). Returns (lm, lm_meta)."""
+    import os
+
+    if os.environ.get("MI_FUSED_LM") == "1":
+        res = stack_lm(model, meta)
+        return res if res is not None else (None, None)
+    return None, None
+
+
 def stack_cache_batched(cache_list):
     """Per-layer multi-slot cache (engine.init_cache dtype=int8, batch=B) ->
     HEAD-TRANSPOSED stacked dict for the batched kernel:
@@ -208,18 +230,30 @@ def unstack_cache_batched(cache, n_layers):
 
 
 def _scatter_rows_batched(cache, krows, vrows, ksr, vsr, positions):
-    """Write each slot's new KV row at its own position (vmap over slots)."""
+    """Write each slot's new KV row at its own position.
+
+    UNROLLED per-slot dynamic_update_slice chain, NOT a vmap: vmapped DUS
+    with per-slot start indices lowers to an XLA scatter, and a scatter on
+    the multi-GB carried cache forces a full-buffer copy every step
+    (measured ~3.9 ms at B=8 T=512 — exp_batched_breakdown r5). A chain of
+    plain DUS with a static slot index and one dynamic position is the form
+    XLA's while-loop buffer aliasing updates in place (the B=1 flat path
+    already relies on this)."""
+    B = krows.shape[1]
+
     def upd_kv(buf, new):  # buf [L,B,H,T,D], new [L,B,H,D]
-        def one(bufb, newb, p):
-            return jax.lax.dynamic_update_slice(
-                bufb, newb[:, :, None].astype(bufb.dtype), (0, 0, p, 0))
-        return jax.vmap(one, in_axes=(1, 1, 0), out_axes=1)(buf, new, positions)
+        for b in range(B):
+            buf = jax.lax.dynamic_update_slice(
+                buf, new[:, b:b + 1, :, None].astype(buf.dtype),
+                (0, b, 0, positions[b], 0))
+        return buf
 
     def upd_s(buf, new):  # buf [L,B,H,T], new [L,B,H]
-        def one(bufb, newb, p):
-            return jax.lax.dynamic_update_slice(
-                bufb, newb[:, :, None].astype(bufb.dtype), (0, 0, p))
-        return jax.vmap(one, in_axes=(1, 1, 0), out_axes=1)(buf, new, positions)
+        for b in range(B):
+            buf = jax.lax.dynamic_update_slice(
+                buf, new[:, b:b + 1, :, None].astype(buf.dtype),
+                (0, b, 0, positions[b]))
+        return buf
 
     return {
         "k": upd_kv(cache["k"], krows),
@@ -253,15 +287,31 @@ def _scatter_rows_paged(pool, krows, vrows, ksr, vsr, table, positions):
     0 land in the scratch page (retired slots)."""
     P = pool["k"].shape[3]
     L, B = krows.shape[:2]
-    li = jnp.arange(L)[:, None]                                   # [L, 1]
-    pg = table[jnp.arange(B), positions // P][None, :]            # [1, B]
-    off = (positions % P)[None, :]
-    li, pg, off = jnp.broadcast_arrays(li, pg, off)               # [L, B]
+    # unrolled per-slot DUS chain (same reason as _scatter_rows_batched:
+    # an index-array scatter on the carried multi-GB pool forces a
+    # full-buffer copy; a plain-DUS chain updates in place)
+    pg = table[jnp.arange(B), positions // P]                     # [B]
+    off = positions % P                                           # [B]
+
+    def upd_kv(buf, new):  # buf [L,npg,H,P,D], new [L,B,H,D]
+        for b in range(B):
+            buf = jax.lax.dynamic_update_slice(
+                buf, new[:, b:b + 1, :, None].astype(buf.dtype),
+                (0, pg[b], 0, off[b], 0))
+        return buf
+
+    def upd_s(buf, new):  # buf [L,npg,H,P], new [L,B,H]
+        for b in range(B):
+            buf = jax.lax.dynamic_update_slice(
+                buf, new[:, b:b + 1, :, None].astype(buf.dtype),
+                (0, pg[b], 0, off[b]))
+        return buf
+
     return {
-        "k": pool["k"].at[li, pg, :, off].set(krows.astype(pool["k"].dtype)),
-        "v": pool["v"].at[li, pg, :, off].set(vrows.astype(pool["v"].dtype)),
-        "k_scale": pool["k_scale"].at[li, pg, :, off].set(ksr),
-        "v_scale": pool["v_scale"].at[li, pg, :, off].set(vsr),
+        "k": upd_kv(pool["k"], krows),
+        "v": upd_kv(pool["v"], vrows),
+        "k_scale": upd_s(pool["k_scale"], ksr),
+        "v_scale": upd_s(pool["v_scale"], vsr),
     }
 
 
@@ -327,24 +377,24 @@ def _scatter_chunk_rows_batched(cache, krows, vrows, ksr, vsr, prefixes, C):
     L = krows.shape[0]
     B = prefixes.shape[0]
 
+    # unrolled per-slot DUS chain (see _scatter_rows_batched: vmapped DUS
+    # lowers to a copying scatter on the multi-GB cache)
     def kv(buf, new):   # buf [L,B,Hkv,T,D]
         new = jnp.swapaxes(new.reshape(L, B, C, new.shape[2], new.shape[3]),
                            2, 3)                       # [L,B,Hkv,C,D]
-
-        def one(bufb, newb, p):  # [L,Hkv,T,D], [L,Hkv,C,D]
-            return jax.lax.dynamic_update_slice(
-                bufb, newb.astype(bufb.dtype), (0, 0, p, 0))
-
-        return jax.vmap(one, in_axes=(1, 1, 0), out_axes=1)(buf, new, prefixes)
+        for b in range(B):
+            buf = jax.lax.dynamic_update_slice(
+                buf, new[:, b:b + 1].astype(buf.dtype),
+                (0, b, 0, prefixes[b], 0))
+        return buf
 
     def sc(buf, new):   # buf [L,B,Hkv,T]
         new = jnp.swapaxes(new.reshape(L, B, C, new.shape[2]), 2, 3)
-
-        def one(bufb, newb, p):
-            return jax.lax.dynamic_update_slice(
-                bufb, newb.astype(bufb.dtype), (0, 0, p))
-
-        return jax.vmap(one, in_axes=(1, 1, 0), out_axes=1)(buf, new, prefixes)
+        for b in range(B):
+            buf = jax.lax.dynamic_update_slice(
+                buf, new[:, b:b + 1].astype(buf.dtype),
+                (0, b, 0, prefixes[b]))
+        return buf
 
     return {
         "k": kv(cache["k"], krows), "v": kv(cache["v"], vrows),
@@ -461,18 +511,25 @@ def scatter_prefill_pages(pool, kvs, pages, valid, cfg):
     L, Hkv, T, D = k.shape
     npg = T // P
     pg = jnp.where(valid, pages, 0)
-    li = jnp.arange(L)[:, None]
-    pgb = jnp.broadcast_to(pg[None, :], (L, npg))
-    lib = jnp.broadcast_to(li, (L, npg))
 
     def rs(a):  # [L,Hkv,T,...] -> [L,npg,Hkv,P,...]
         return a.reshape((L, Hkv, npg, P) + a.shape[3:]).swapaxes(1, 2)
 
+    # unrolled per-page DUS chain (see _scatter_rows_batched: an
+    # index-array scatter on the multi-GB pool forces a full-buffer copy —
+    # this is the admission/TTFT path)
+    def upd(buf, new):  # new [L,npg,Hkv,P,...]
+        for j in range(npg):
+            start = (0, pg[j]) + (0,) * (new.ndim - 2)
+            buf = jax.lax.dynamic_update_slice(
+                buf, new[:, j:j + 1].astype(buf.dtype), start)
+        return buf
+
     return {
-        "k": pool["k"].at[lib, pgb].set(rs(k).astype(pool["k"].dtype)),
-        "v": pool["v"].at[lib, pgb].set(rs(v).astype(pool["v"].dtype)),
-        "k_scale": pool["k_scale"].at[lib, pgb].set(rs(ks)),
-        "v_scale": pool["v_scale"].at[lib, pgb].set(rs(vs)),
+        "k": upd(pool["k"], rs(k)),
+        "v": upd(pool["v"], rs(v)),
+        "k_scale": upd(pool["k_scale"], rs(ks)),
+        "v_scale": upd(pool["v_scale"], rs(vs)),
     }
 
 

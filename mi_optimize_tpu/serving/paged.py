@@ -201,16 +201,12 @@ class PagedMegaBatcher:
         self.cfg = model.config
         self._mega = st
         # r5: fused terminal lm_head rows (B-row rms+unembed+argmax
-        # in-kernel) — measured SLOWER for the B=8 batched step on-chip
-        # (19.7 vs 16.2 ms; the 2x6.5MB double-buffered lm tiles push the
-        # B=8 kernel past the VMEM pipeline cliff), so OPT-IN via
-        # MI_FUSED_LM=1; None falls back to the XLA lm_head
-        import os
+        # in-kernel) — opt-in via MI_FUSED_LM=1 (see megadecode.default_lm:
+        # with the unrolled-DUS scatter the XLA lm_head overlaps the scan
+        # glue and beats the fused rows at B=8, 12.5 vs 15.1 ms)
+        from .megadecode import default_lm
 
-        from .megadecode import stack_lm
-
-        self._lm = (stack_lm(model, st[1])
-                    if os.environ.get("MI_FUSED_LM") == "1" else None)
+        self._lm = default_lm(model, st[1])
         self.page_size = page_size
         self.max_len = min(max_len, self.cfg.max_seq_len)
         self.pps = self.max_len // page_size

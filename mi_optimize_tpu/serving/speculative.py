@@ -413,10 +413,15 @@ def speculative_generate(
                     # (~24 ms on this tunnel; the r5 first cut capped at 4
                     # and the extra dispatches erased the policy's win)
                     m = min(m, 8)
+                # fused C-row verify lm only for small chunks: measured win
+                # at C=5 (k=4), ~3x LOSS at C=9 (k=8) at every lm tile size
+                # (exp_lm_tile_c9.py r5) — large-C verifies keep XLA lm_head
+                use_lm = tlm is not None and k + 1 <= 6
                 emits, naccs, last, pos, tcc, dcc = _spec_scan_flat(
                     target.params, draft.params, tstack, dstack_f, tmeta,
                     dmeta_f, cfg, draft.config, tcc, dcc, last, pos, k, m,
-                    interpret=interp, tlm=tlm, tlm_meta=tlm_meta)
+                    interpret=interp, tlm=tlm if use_lm else None,
+                    tlm_meta=tlm_meta if use_lm else None)
                 emits = np.asarray(emits)
                 naccs = np.asarray(naccs)
                 for i in range(m):

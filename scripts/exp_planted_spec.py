@@ -151,12 +151,17 @@ for k in (4, 8):
         first_tok = jnp.asarray(jnp.argmax(lg, -1).reshape(-1)[0], jnp.int32)
         M = -(-NEW // (k + 1))
 
+        # same gating as production (speculative.py): fused C-row verify lm
+        # only for C = k+1 <= 6 — measured ~3x loss at C=9 (exp_lm_tile_c9)
+        use_lm = TLM is not None and k + 1 <= 6
+
         def seg():
             emits, naccs, last, pos, _tc, _dc = _spec_scan_flat(
                 target.params, d.params, st[0], dfl[0], st[1], dfl[1],
                 cfg, d.config, stc, fdc, first_tok,
                 jnp.asarray(prompt.shape[1]), k, M,
-                tlm=TLM, tlm_meta=TLM_META)
+                tlm=TLM if use_lm else None,
+                tlm_meta=TLM_META if use_lm else None)
             return np.asarray(emits), np.asarray(naccs)
 
         emits, naccs = seg()

@@ -85,12 +85,37 @@ def suffix_chunk():
     pull(logits)
 
 
+def suffix_chain(n):
+    """n suffix-chunk dispatches feeding the pool forward, ONE pull: every
+    single dispatch on this tunnel carries a ~24 ms round trip (BENCH_DETAILS
+    r5 dispatch-RTT decomposition), so total(n) = rtt + n*device and the
+    slope is the DEVICE-TRUE admission cost."""
+    pl = pool
+    logits = None
+    t0 = time.perf_counter()
+    for _ in range(n):
+        logits, pl = model_step_chunk_batch_paged(
+            params, stack, meta, cfg, suffix, pl, table_j, prefix_pos)
+    pull(logits)
+    return time.perf_counter() - t0
+
+
 t_full = timeit(f"full_prefill_S{S}", full_prefill)
 t_suf = timeit(f"suffix_chunk_C{SUFFIX}_hit{S - SUFFIX}", suffix_chunk)
+suffix_chain(1)
+b1 = min(suffix_chain(1) for _ in range(3))
+b4 = min(suffix_chain(4) for _ in range(3))
+dev_ms = (b4 - b1) / 3 * 1e3
+print(json.dumps({
+    "what": "suffix_chunk_device_true",
+    "device_ms": round(dev_ms, 2),
+    "fitted_rtt_ms": round(b1 * 1e3 - dev_ms, 1),
+}))
 print(json.dumps({
     "what": "prefix_cache_ttft_speedup",
     "S": S, "cached": S - SUFFIX, "suffix": SUFFIX,
     "ttft_full_ms": round(t_full * 1e3, 2),
     "ttft_hit_ms": round(t_suf * 1e3, 2),
+    "ttft_hit_device_ms": round(dev_ms, 2),
     "speedup": round(t_full / t_suf, 2),
 }))
