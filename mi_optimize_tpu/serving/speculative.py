@@ -44,10 +44,11 @@ from .engine import decode_loop, decode_step, init_cache, prefill, prefill_chunk
 #: callers can override via speculative_generate(cost_model=...).
 ADAPT_KSET = (2, 4, 8)
 #: measured scan-flat round costs on v5e (exp_planted_spec r5: k=4 rounds
-#: 11.7-12.2 ms with the fused-lm verify + in-scan flat draft; k=8 rounds
-#: 43.7 ms — the C=9 fused verify crosses a VMEM pipeline cliff). Unlisted
-#: k fall back to the analytic model below.
-ADAPT_COST = {"round_ms": {2: 10.5, 4: 12.0, 8: 43.7},
+#: 11.7-11.8 ms with the fused-lm C=5 verify + in-scan flat draft; k=8
+#: rounds 17.4 ms with the XLA-lm verify — the C<=6 gate removed the C=9
+#: fused-lm cliff's 43.7 ms, making k=8 the accept~1 winner at 3.14x).
+#: Unlisted k fall back to the analytic model below.
+ADAPT_COST = {"round_ms": {2: 10.5, 4: 11.7, 8: 17.4},
               "verify_base_ms": 9.0, "verify_ms_per_tok": 0.3,
               "draft_ms_per_tok": 0.5}
 

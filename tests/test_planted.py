@@ -117,11 +117,11 @@ def test_spec_accept_rate_tracks_disagreement(frac, lo, hi):
 
 
 @pytest.mark.parametrize("frac,expect_k", [
-    # the measured v5e round-cost table (ADAPT_COST) makes k=4 optimal even
-    # at q=1 (k=8 rounds cost 3.6x k=4's on-chip: 43.7 vs 12.0 ms), matching
-    # the recorded steady-state numbers (408.8 tok/s k=4 vs 205.9 k=8 at
-    # accept 1.0)
-    (0.0, 4),
+    # the measured v5e round-cost table (ADAPT_COST) makes k=8 optimal at
+    # q=1 since the C<=6 fused-lm gate cut its round to 17.4 ms (vs 11.7
+    # for k=4): 9/17.4 > 5/11.7 — matching the recorded steady state
+    # (517.3 tok/s k=8 vs 424.8 k=4 at accept 1.0, BENCH_DETAILS r5)
+    (0.0, 8),
     # r5 re-tier: the low-q variant needs many more dispatches/compiles
     pytest.param(0.9, 2, marks=pytest.mark.slow),
 ])
