@@ -137,8 +137,12 @@ from mi_optimize_tpu.serving.speculative import _spec_scan_flat
 tlmres = stack_lm(target, st[1])    # r5: fused C-row verify lm_head
 TLM, TLM_META = tlmres if tlmres is not None else (None, None)
 
-for k in (4, 8):
-    for name, d in (("alpha~1.0", draft_hi), ("alpha~0.7", draft_lo)):
+KS = tuple(int(x) for x in
+           os.environ.get("MI_SPEC_KS", "4,8").split(","))
+DRAFTS = ((("alpha~1.0", draft_hi),) if os.environ.get("MI_SPEC_HI_ONLY")
+          else (("alpha~1.0", draft_hi), ("alpha~0.7", draft_lo)))
+for k in KS:
+    for name, d in DRAFTS:
         dst_d, dmeta_d = stack_serving(d)
         dfl = stack_flat(d, (dst_d, dmeta_d))
         assert dfl is not None
@@ -193,6 +197,8 @@ for k in (4, 8):
 # Same methodology for all three (speculative_generate whole, second call
 # timed — each pays its own prefills identically), 2L draft with 30% of the
 # planted map redirected (per-token agreement q ~ 0.7).
+if os.environ.get("MI_SPEC_ADAPTIVE") == "0":
+    sys.exit(0)
 st = None
 gc.collect()
 
