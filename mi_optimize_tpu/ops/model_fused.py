@@ -778,56 +778,33 @@ def _kernel_b(
             # prefix+C-1). Row i additionally attends its slot's rows j<i —
             # their K/V exist only here (the cache holds rows < prefix,
             # covered by phase 2b; the flash mask there stops at prefix).
-            # Vectorized per-ROW updates (r5): the r4 per-(i,j) unrolled
-            # formulation hit a hard scheduling cliff past C~9 (chunk
-            # verify 10.4 ms at C=9 -> 41.5 at C=13, exp_chunk_c_sweep).
-            # Row i consumes ALL its j<i pairs in O(1) MXU dots: scores
-            # via kd_flat @ q_i^T with a per-head selection mask, then
-            # one grouped-by-head (sel^T @ .) reduction for the fa/l
-            # accumulations — O(C) MXU ops + O(C^2) tiny maxes instead
-            # of O(C^2) VPU online-softmax updates.
+            # Static O(C^2) unrolled online-softmax updates; C is small.
+            # r5 NEGATIVE RESULT: a vectorized per-row formulation (one
+            # kd_flat@q^T MXU dot + grouped sel^T reductions per row) was
+            # built and measured EQUAL-OR-WORSE at every C (C=5: 8.8 vs
+            # 8.0 ms, C=9: 11.2 vs 10.4, C=13: 42.3 vs 41.5) — this pass
+            # is NOT the chunk-C cliff (MI_CHUNK_NO_INTRA=1 attribution:
+            # C=13 is 39.5 ms with the pass removed entirely). The cliff
+            # is a bsz-scaled VMEM/pipeline interaction in the weight
+            # phases (tile-dependent, non-monotonic — exp_chunk_c_sweep,
+            # ROADMAP item 3); callers stay below it via C<=8 quanta.
             # (MI_CHUNK_NO_INTRA=1 skips the pass — WRONG RESULTS, cost
-            # attribution only: the r5 C-cliff probe.)
+            # attribution only.)
             for s0 in range(nslots):
-                j0 = s0 * C
-                kd_all = jnp.concatenate(kds[j0:j0 + C - 1], axis=0)
-                vd_all = jnp.concatenate(vds[j0:j0 + C - 1], axis=0)
                 for i in range(1, C):
                     r = s0 * C + i
                     rows = slice(r * n_heads, (r + 1) * n_heads)
-                    ih = i * n_heads
-                    kd_i = kd_all[:ih]                       # [i*Hq, D]
-                    vd_i = vd_all[:ih]
-                    # per-head pair scores: (kd @ q^T) masked to matching
-                    # heads, summed over the head axis -> [i*Hq, 1]
-                    sfull = jax.lax.dot_general(
-                        kd_i, qs[r], (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # [i*Hq, Hq]
-                    sel = (jax.lax.broadcasted_iota(
-                               jnp.int32, (ih, n_heads), 0) % n_heads
-                           == jax.lax.broadcasted_iota(
-                               jnp.int32, (ih, n_heads), 1))
-                    self_ = jnp.where(sel, sfull, 0.0)
-                    s_fl = self_.sum(-1, keepdims=True) * scale  # [i*Hq,1]
-                    m_old = m_sc[rows][:, :1]                # [Hq, 1]
-                    m_int = s_fl[0:n_heads]
-                    for j in range(1, i):
-                        m_int = jnp.maximum(
-                            m_int, s_fl[j * n_heads:(j + 1) * n_heads])
-                    m_new = jnp.maximum(m_old, m_int)        # [Hq, 1]
-                    self32 = sel.astype(jnp.float32)
-                    m_b = jax.lax.dot_general(                # [i*Hq, 1]
-                        self32, m_new, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    p_fl = jnp.exp(s_fl - m_b)
-                    corr = jnp.exp(m_old - m_new)
-                    grp = lambda X: jax.lax.dot_general(      # [Hq, ...]
-                        self32, X, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    fa_sc[rows] = fa_sc[rows] * corr + grp(p_fl * vd_i)
-                    l_sc[rows] = l_sc[rows] * corr + grp(p_fl)
-                    m_sc[rows] = jnp.broadcast_to(m_new,
-                                                  (n_heads, head_dim))
+                    for j in range(i):
+                        rj = s0 * C + j
+                        s = (qs[r] * kds[rj]).sum(-1, keepdims=True) * scale
+                        m_old = m_sc[rows][:, :1]
+                        m_new = jnp.maximum(m_old, s)
+                        corr = jnp.exp(m_old - m_new)
+                        p_ = jnp.exp(s - m_new)
+                        fa_sc[rows] = fa_sc[rows] * corr + p_ * vds[rj]
+                        l_sc[rows] = l_sc[rows] * corr + p_
+                        m_sc[rows] = jnp.broadcast_to(m_new,
+                                                      (n_heads, head_dim))
 
     # ---------------- phase 2b: flash over (slot, t-block). Slot-major for
     # the batched decode (each slot has its own cache rows); in chunk mode

@@ -298,10 +298,12 @@ class PagedMegaBatcher:
     def _pc_chunk_quantum(self) -> int:
         """Fixed chunk length for suffix prefill: ONE compiled program
         regardless of suffix length (longer suffixes run several sequential
-        launches). 32 keeps the chunk kernel inside the 64M scoped-VMEM
-        budget at 7B (C=128 needs 106M); small on CPU where interpret-mode
-        kernel cost scales with C."""
-        return 32 if jax.default_backend() == "tpu" else 8
+        launches). 8: the chunk kernel hits a VMEM-pipeline cliff past
+        C~9 (exp_chunk_c_sweep r5: 10.4 ms device-true at C=9 but 41.5 at
+        C=13 and 59 at C=17, tile-dependent and non-monotonic above the
+        knee — ROADMAP item 3), so several C=8 launches at ~weight-stream
+        cost beat one big-C launch (2x8 ~ 21 ms vs C=16's 57.7)."""
+        return 8
 
     def _pick(self, slot, logits_row) -> int:
         """Per-slot next token: greedy, or host-side temperature/top-k/top-p

@@ -85,5 +85,5 @@ CS = tuple(int(x) for x in
            os.environ.get("MI_CSWEEP", "5,9,13,17").split(","))
 for C in CS:
     run(C, 64)
-if not os.environ.get("MI_CSWEEP"):
+if not os.environ.get("MI_CSWEEP") or os.environ.get("MI_CSWEEP_DEEP"):
     run(16, 1008)
