@@ -302,7 +302,9 @@ class PagedMegaBatcher:
         C~9 (exp_chunk_c_sweep r5: 10.4 ms device-true at C=9 but 41.5 at
         C=13 and 59 at C=17, tile-dependent and non-monotonic above the
         knee — ROADMAP item 3), so several C=8 launches at ~weight-stream
-        cost beat one big-C launch (2x8 ~ 21 ms vs C=16's 57.7)."""
+        cost beat one big-C launch (measured: one paged C=8 launch at a
+        1016-token prefix = 13.5 ms device-true -> a 16-token suffix is
+        ~27 ms in two launches vs 57.7 in one C=16)."""
         return 8
 
     def _pick(self, slot, logits_row) -> int:

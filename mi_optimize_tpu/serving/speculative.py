@@ -406,14 +406,18 @@ def speculative_generate(
             n_rej = 0
             d_calls_n = 0
             k_hist: list = []
+            # adaptive dispatch cap: start at 8 rounds/dispatch so the MLE
+            # can steer early (the r5 first cut capped at 4 and the extra
+            # dispatches erased the policy's win), then DOUBLE it each time
+            # the re-pick keeps the same k — once the estimate is stable,
+            # extra dispatches only multiply the per-dispatch RTT (~24 ms
+            # on this tunnel; fixed-k at alpha~0.7 kept a ~9% edge over
+            # the fixed cap in the r5 measurements).
+            adapt_cap = 8
             while len(emitted) < need:
                 m = _seg_len(need - len(emitted), k)
                 if adaptive:
-                    # cap 8 rounds/dispatch: enough to adapt between
-                    # dispatches without multiplying the per-dispatch RTT
-                    # (~24 ms on this tunnel; the r5 first cut capped at 4
-                    # and the extra dispatches erased the policy's win)
-                    m = min(m, 8)
+                    m = min(m, adapt_cap)
                 # fused C-row verify lm only for small chunks: measured win
                 # at C=5 (k=4), ~3x LOSS at C=9 (k=8) at every lm tile size
                 # (exp_lm_tile_c9.py r5) — large-C verifies keep XLA lm_head
@@ -436,6 +440,8 @@ def speculative_generate(
                     k_hist.append(k)
                     q_hat = acc_n / max(acc_n + n_rej, 1)
                     k = _best_k(q_hat)
+                    adapt_cap = (min(adapt_cap * 2, 64)
+                                 if k == k_hist[-1] else 8)
             seq = seq + [int(first)] + emitted[: need]
             stats = {
                 "target_calls": rounds,

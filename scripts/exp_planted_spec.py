@@ -138,7 +138,8 @@ tlmres = stack_lm(target, st[1])    # r5: fused C-row verify lm_head
 TLM, TLM_META = tlmres if tlmres is not None else (None, None)
 
 KS = tuple(int(x) for x in
-           os.environ.get("MI_SPEC_KS", "4,8").split(","))
+           os.environ.get("MI_SPEC_KS", "4,8").split(",")
+           if x) if os.environ.get("MI_SPEC_KS") != "none" else ()
 DRAFTS = ((("alpha~1.0", draft_hi),) if os.environ.get("MI_SPEC_HI_ONLY")
           else (("alpha~1.0", draft_hi), ("alpha~0.7", draft_lo)))
 for k in KS:
