@@ -190,7 +190,8 @@ class PagedMegaBatcher:
 
     def __init__(self, model: Model, n_slots: int = 4, max_len: int = 512,
                  page_size: int = 128, n_pages: Optional[int] = None,
-                 prefix_cache: bool = False):
+                 prefix_cache: bool = False,
+                 wave_slots: Optional[int] = None):
         from .megadecode import init_pool_batched, stack_serving
 
         assert max_len % page_size == 0 and page_size % 128 == 0
@@ -207,6 +208,7 @@ class PagedMegaBatcher:
         from .megadecode import default_lm
 
         self._lm = default_lm(model, st[1])
+        self._wave = wave_slots          # None -> _wave_size() default (8)
         self.page_size = page_size
         self.max_len = min(max_len, self.cfg.max_seq_len)
         self.pps = self.max_len // page_size
@@ -504,6 +506,15 @@ class PagedMegaBatcher:
             rids.append(req.rid)
         return rids if n > 1 else rids[0]
 
+    def _wave_size(self) -> int:
+        """Max slots per kernel launch. Aggregate decode throughput FALLS
+        beyond ~8 rows per launch on v5e (exp_paged_batched r5: 562 agg
+        tok/s at B=8, 516 at B=12, 457 at B=16 — the bsz-scaled VMEM
+        cliff, ROADMAP item 3), so larger batchers step in WAVES of 8
+        sharing the pool: two B=8 launches (~28 ms for 16 slots) beat
+        one B=16 launch (35 ms)."""
+        return self._wave or 8
+
     def step(self) -> Dict[int, int]:
         from .megadecode import model_step_batch_paged_donated \
             as model_step_batch_paged
@@ -521,11 +532,38 @@ class PagedMegaBatcher:
                 self.table[i, j] = pg[0]
         stack, meta = self._mega
         lm, lm_meta = self._lm if self._lm is not None else (None, None)
-        logits, self.pool = model_step_batch_paged(
-            self.model.params, stack, meta, self.cfg,
-            jnp.asarray(self.last_token[:, None]), self.pool,
-            jnp.asarray(self.table), jnp.asarray(self.positions),
-            interpret=jax.default_backend() != "tpu", lm=lm, lm_meta=lm_meta)
+        interp = jax.default_backend() != "tpu"
+        W = self._wave_size()
+        if self.n_slots <= W:
+            row_of = {i: i for i in active}
+            logits, self.pool = model_step_batch_paged(
+                self.model.params, stack, meta, self.cfg,
+                jnp.asarray(self.last_token[:, None]), self.pool,
+                jnp.asarray(self.table), jnp.asarray(self.positions),
+                interpret=interp, lm=lm, lm_meta=lm_meta)
+        else:
+            # wave mode (see _wave_size): W-slot launches over the SHARED
+            # donated pool, ONE compiled shape regardless of n_slots.
+            # Short waves pad by REPEATING the last active slot — the dup
+            # row recomputes the same KV row and the unrolled-DUS scatter
+            # rewrites the same (page, offset) with identical data.
+            parts = []
+            row_of: Dict[int, int] = {}
+            r0 = 0
+            for o in range(0, len(active), W):
+                g = active[o:o + W]
+                idx = g + [g[-1]] * (W - len(g))
+                lg, self.pool = model_step_batch_paged(
+                    self.model.params, stack, meta, self.cfg,
+                    jnp.asarray(self.last_token[idx][:, None]), self.pool,
+                    jnp.asarray(self.table[idx]),
+                    jnp.asarray(self.positions[idx]),
+                    interpret=interp, lm=lm, lm_meta=lm_meta)
+                parts.append(lg)
+                for off, s in enumerate(idx):
+                    row_of.setdefault(s, r0 + off)
+                r0 += W
+            logits = jnp.concatenate(parts, 0)
         # compact pull (r4): this environment's host link is ~MB/s, so the
         # full [B, V] logits pull dominated the step (67 vs 18 ms measured).
         # Greedy slots need only the device argmax; sampling slots get the
@@ -537,7 +575,7 @@ class PagedMegaBatcher:
         # the prefill token, scored via _pick on full logits, is exact).
         if all(self.slot_sample[i] is None for i in active):
             toks_np = np.asarray(jnp.argmax(logits, -1))
-            pick = lambda i: int(toks_np[i])
+            pick = lambda i: int(toks_np[row_of[i]])
         else:
             want = max([256] + [int(self.slot_sample[i]["top_k"])
                                 for i in active
@@ -548,7 +586,8 @@ class PagedMegaBatcher:
             packed = np.asarray(_topk_packed(logits, K))
             vals_np = packed[0]
             idx_np = packed[1].view(np.int32)
-            pick = lambda i: self._pick_topk(i, vals_np[i], idx_np[i])
+            pick = lambda i: self._pick_topk(i, vals_np[row_of[i]],
+                                             idx_np[row_of[i]])
         out = {}
         for i in active:
             req = self.slot_req[i]

@@ -122,5 +122,7 @@ def run(B, T):
     print(json.dumps(rec), flush=True)
 
 
-for B, T in ((8, 512), (8, 2048)):
+cfgs = os.environ.get("MI_PB_CONFIGS", "8x512,8x2048")
+for spec in cfgs.split(","):
+    B, T = (int(v) for v in spec.split("x"))
     run(B, T)

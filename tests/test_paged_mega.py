@@ -174,3 +174,27 @@ def test_paged_tp_matches_single_device():
             np.testing.assert_array_equal(
                 np.asarray(tp_pool[f][:, page, :, off]),
                 np.asarray(ref_pool[f][:, page, :, off]))
+
+
+def test_paged_wave_split_matches_dense():
+    """n_slots above the wave size: the batcher must step in wave_slots-
+    sized launches over the shared pool (r5: aggregate throughput falls
+    beyond ~8 rows/launch on v5e — _wave_size) and still emit exactly the
+    dense ContinuousBatcher's greedy sequences, including short final
+    waves (pad = repeated slot) and mid-run retirements."""
+    model = _mega_model(seed=9)
+    rng = np.random.default_rng(17)
+    prompts = [rng.integers(0, 128, (100 + 5 * i,)) for i in range(3)]
+    new = 10
+
+    dense = ContinuousBatcher(model, n_slots=3, max_len=256,
+                              cache_dtype=jnp.int8, use_megakernel=True)
+    ref = dense.run_all(list(prompts), max_new_tokens=new)
+
+    pb = PagedMegaBatcher(model, n_slots=3, max_len=256, page_size=128,
+                          wave_slots=2)   # 3 slots -> waves of 2 + 1(pad)
+    got = pb.run_all(list(prompts), max_new_tokens=new)
+
+    assert set(got) == set(ref)
+    for rid in ref:
+        assert got[rid] == ref[rid], f"request {rid} diverged"
