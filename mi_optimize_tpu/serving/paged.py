@@ -641,11 +641,13 @@ class PagedSpeculativeBatcher(PagedMegaBatcher):
 
     def __init__(self, model: Model, draft: Model, k: int = 4,
                  n_slots: int = 4, max_len: int = 512, page_size: int = 128,
-                 n_pages: Optional[int] = None):
+                 n_pages: Optional[int] = None,
+                 verify_wave_slots: Optional[int] = None):
         from .engine import init_cache
         from .megadecode import stack_cache_batched, stack_serving
 
         super().__init__(model, n_slots, max_len, page_size, n_pages)
+        self._verify_wave = verify_wave_slots   # None -> <=8 rows/launch
         self.draft = draft
         self.k = k
         st = stack_serving(draft)
@@ -703,10 +705,28 @@ class PagedSpeculativeBatcher(PagedMegaBatcher):
             self.dcache, pos, self.k, interpret=interp)
         chunk = jnp.concatenate([toks.astype(props.dtype), props], axis=1)
         stack, meta = self._mega
-        vlogits, self.pool = model_step_chunk_batch_paged(
-            self.model.params, stack, meta, self.cfg, chunk, self.pool,
-            jnp.asarray(self.table), pos, interpret=interp)
-        ver = np.argmax(np.asarray(vlogits), axis=-1)        # [B, k+1]
+        # WAVE the verify (r5): the chunk kernel runs B*(k+1) virtual rows
+        # per launch, and throughput collapses past ~8-9 rows (the bsz
+        # VMEM cliff, exp_chunk_c_sweep — e.g. 4 slots x C=5 = 20 rows
+        # lands at ~3-4x the per-row cost). Groups of G slots keep each
+        # launch at <= 8 rows (short groups pad by repeating a slot —
+        # identical rows re-scatter identical data); argmax happens ON
+        # DEVICE so the host pulls [B, k+1] ints, not [B, k+1, V] logits
+        # (~2.5 MB over this environment's ~MB/s host link).
+        C = self.k + 1
+        B = chunk.shape[0]
+        G = self._verify_wave or max(1, 8 // C)
+        parts = []
+        for o in range(0, B, min(G, B)):
+            g = list(range(o, min(o + G, B)))
+            idx = g + [g[-1]] * (G - len(g))
+            ji = jnp.asarray(idx)
+            lg, self.pool = model_step_chunk_batch_paged(
+                self.model.params, stack, meta, self.cfg, chunk[ji],
+                self.pool, jnp.asarray(self.table[idx]), pos[ji],
+                interpret=interp)
+            parts.append(jnp.argmax(lg, axis=-1)[: len(g)])
+        ver = np.asarray(jnp.concatenate(parts, 0))          # [B, k+1]
         props_np = np.asarray(props)
         self.rounds += 1
         out: Dict[int, List[int]] = {}
