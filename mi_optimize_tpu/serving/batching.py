@@ -118,7 +118,13 @@ class Request:
 
 
 class ContinuousBatcher:
-    """Static-shape slot scheduler; join/leave between decode steps."""
+    """Static-shape slot scheduler; join/leave between decode steps.
+
+    For n_slots > 8 prefer PagedMegaBatcher: aggregate decode throughput
+    falls past ~8 rows per kernel launch on v5e (the bsz VMEM cliff,
+    BENCH_DETAILS r5) and the paged batcher steps wide batches in waves
+    of 8 over its shared pool — the dense cache layout here cannot wave
+    without slicing (copying) the multi-GB cache per group."""
 
     def __init__(self, model: Model, n_slots: int = 4, max_len: int = 512,
                  fused: bool = True, cache_dtype=jnp.float32,
